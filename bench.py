@@ -1,0 +1,58 @@
+"""RTF benchmark: unit -> waveform resynthesis throughput per chip.
+
+Measures the BASELINE.json headline metric — audio seconds synthesized per
+wall-clock second per chip — over the full inference path: 16-step CFM Euler
+ODE (reference config dt=0.0625, truncation 1.0;
+configs/resynth/mhubert-expresso-2000.yaml:42-43) + HiFi-GAN x320 vocoder at
+reference model sizes.  Prints one JSON line.  ``vs_baseline`` is measured
+RTF / 50 (the >=50x-real-time-per-chip north star).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from speech_resynth_tpu.core.precision import BF16_INFERENCE
+    from speech_resynth_tpu.models.cfm import CFMConfig
+    from speech_resynth_tpu.models.composite import ConditionalFlowMatchingWithHifiGan
+
+    decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
+
+    batch, units_per_seq = 8, 500  # 10 s of audio per sequence at 50 Hz units
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 2001, (batch, units_per_seq)), jnp.int32)
+
+    def run(rng):
+        return decoder._synthesize(ids, rng, dt=0.0625, truncation_value=1.0, max_frames=None)
+
+    # warmup/compile
+    wav, lengths = run(jax.random.key(0))
+    jax.block_until_ready(wav)
+
+    iters = 5
+    start = time.perf_counter()
+    for i in range(iters):
+        wav, lengths = run(jax.random.key(i + 1))
+    jax.block_until_ready(wav)
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = iters * float(jnp.sum(lengths)) / 16000.0
+    rtf = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_synthesized_per_sec_per_chip",
+                "value": round(rtf, 2),
+                "unit": "x realtime",
+                "vs_baseline": round(rtf / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Device mesh + sharding runtime.
+
+The reference does distributed training through torch.distributed/NCCL DDP
+(/root/reference/src/speechlm/train.py:75-78, src/hifigan/train.py:26-31).
+TPU-native equivalent: a ``jax.sharding.Mesh`` with named axes and
+``NamedSharding`` rules; XLA inserts the gradient all-reduces over ICI.
+
+Axis names:
+  data   — batch sharding (DDP equivalent; capability bar of the reference)
+  model  — reserved tensor-parallel axis so larger speech LMs can enable TP
+           without API changes (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def distributed_init() -> None:
+    """Multi-host runtime init (maps the reference's init_process_group).
+
+    Safe to call unconditionally: no-ops for single-process runs unless the
+    standard JAX coordination env vars are present.
+    """
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``data=None`` uses every device not consumed by the model axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    grid = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays on-device with batch-dim sharding."""
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharded(mesh, x.ndim))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(partial(jax.device_put, device=replicated(mesh)), tree)
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """This host's shard of a globally-indexed batch.
+
+    Replaces the reference's DistributedSampler (speechlm/train.py:96): data
+    iterators slice by process index instead of wrapping a sampler object.
+    """
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

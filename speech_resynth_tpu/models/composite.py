@@ -1,0 +1,193 @@
+"""ConditionalFlowMatchingWithHifiGan — the unit-to-waveform decoder.
+
+API parity with the reference composite model
+(/root/reference/src/flow_matching/models.py:192-256): ``from_pretrained`` /
+``load_pretrained`` construction, ``__call__(input_ids, dt, truncation_value)``
+returning per-utterance trimmed waveforms; pad-frame detection by the
+log(1e-5) sentinel (models.py:245-247) and analytic ConvTranspose length
+propagation (models.py:211-221, net (L-1)*320+400).
+
+TPU design: the whole path — 16-step Euler ODE (lax.scan) + vocoder — is one
+jitted program per padded shape.  Trimming is data-dependent, so the jitted
+function returns (waveforms, lengths) and hosts slice afterwards; a
+``__call__`` wrapper reproduces the reference's list-of-trimmed-arrays return.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from functools import partial
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.precision import Policy, BF16_INFERENCE
+from .cfm import CFMConfig, ConditionalFlowMatchingModel
+from .hifigan import HifiGanConfig, HifiGanGenerator
+
+
+def _load_state_dict(model_dir: Path) -> dict:
+    """Read an HF checkpoint dir (safetensors preferred, torch bin fallback)."""
+    st = model_dir / "model.safetensors"
+    if st.is_file():
+        from safetensors.numpy import load_file
+
+        return load_file(str(st))
+    bin_path = model_dir / "pytorch_model.bin"
+    if bin_path.is_file():
+        import torch
+
+        return {k: v.numpy() for k, v in torch.load(bin_path, map_location="cpu", weights_only=True).items()}
+    raise FileNotFoundError(f"no model weights in {model_dir}")
+
+
+@dataclasses.dataclass
+class ConditionalFlowMatchingWithHifiGan:
+    model: ConditionalFlowMatchingModel
+    model_variables: dict
+    vocoder: HifiGanGenerator
+    vocoder_variables: dict
+
+    def __post_init__(self):
+        self._synth = jax.jit(self._synthesize, static_argnames=("dt", "truncation_value", "max_frames"))
+
+    # -- construction ----------------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls,
+        model_config: CFMConfig,
+        vocoder_config: HifiGanConfig = HifiGanConfig(),
+        policy: Policy = BF16_INFERENCE,
+        rng_seed: int = 0,
+    ) -> "ConditionalFlowMatchingWithHifiGan":
+        model = ConditionalFlowMatchingModel(model_config, policy=policy)
+        ids = jnp.ones((1, 8), jnp.int32)
+        mels = jnp.zeros((1, 8, model_config.dim_in), jnp.float32)
+        durs = jnp.ones((1, 8), jnp.int32)
+        mvars = model.init({"params": jax.random.key(rng_seed)}, ids, mels, durs, rng=jax.random.key(1))
+
+        vocoder = HifiGanGenerator(vocoder_config, policy=policy)
+        vvars = vocoder.init(jax.random.key(rng_seed + 2), mels)
+        return cls(model, mvars, vocoder, vvars)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, policy: Policy = BF16_INFERENCE) -> "ConditionalFlowMatchingWithHifiGan":
+        """Load a local HF-format composite checkpoint directory.
+
+        Mirrors README.md:43's
+        ``ConditionalFlowMatchingWithHifiGan.from_pretrained(...)`` for a
+        directory containing config.json + weights (the composite config holds
+        ``model_config`` and ``vocoder_config`` sub-dicts, configs.py:44-61).
+        """
+        from .convert import cfm_model_params, hifigan_generator_params
+
+        model_dir = Path(model_dir)
+        with open(model_dir / "config.json") as f:
+            cfg = json.load(f)
+
+        m = cfg["model_config"]
+        model_config = CFMConfig(
+            **{k: m[k] for k in dataclasses.asdict(CFMConfig()).keys() if k in m}
+        )
+        v = cfg["vocoder_config"]
+        vocoder_config = HifiGanConfig(
+            model_in_dim=v.get("model_in_dim", 80),
+            upsample_initial_channel=v.get("upsample_initial_channel", 512),
+            upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
+            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
+            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(tuple(d) for d in v.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            leaky_relu_slope=v.get("leaky_relu_slope", 0.1),
+            normalize_before=v.get("normalize_before", False),
+        )
+
+        sd = _load_state_dict(model_dir)
+        model_sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
+        voc_sd = {k[len("vocoder.") :]: v for k, v in sd.items() if k.startswith("vocoder.")}
+
+        model = ConditionalFlowMatchingModel(model_config, policy=policy)
+        mvars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(model_sd))
+        vocoder = HifiGanGenerator(vocoder_config, policy=policy)
+        vparams = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(voc_sd))
+        vvars = {"params": vparams}
+        return cls(model, mvars, vocoder, vvars)
+
+    @classmethod
+    def load_pretrained(cls, model_path: str, vocoder_path: str, policy: Policy = BF16_INFERENCE):
+        """Two-directory variant (models.py:200-209 parity)."""
+        from .convert import cfm_model_params, hifigan_generator_params
+
+        model_dir, voc_dir = Path(model_path), Path(vocoder_path)
+        with open(model_dir / "config.json") as f:
+            m = json.load(f)
+        model_config = CFMConfig(**{k: m[k] for k in dataclasses.asdict(CFMConfig()).keys() if k in m})
+        with open(voc_dir / "config.json") as f:
+            v = json.load(f)
+        vocoder_config = HifiGanConfig(
+            upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
+            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
+            normalize_before=v.get("normalize_before", False),
+        )
+
+        model = ConditionalFlowMatchingModel(model_config, policy=policy)
+        mvars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(_load_state_dict(model_dir)))
+        vocoder = HifiGanGenerator(vocoder_config, policy=policy)
+        vvars = {"params": jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(_load_state_dict(voc_dir)))}
+        return cls(model, mvars, vocoder, vvars)
+
+    # -- inference --------------------------------------------------------------
+
+    def _synthesize(
+        self,
+        input_ids: jax.Array,
+        rng: jax.Array,
+        dt: float,
+        truncation_value: Optional[float],
+        max_frames: Optional[int],
+    ) -> Tuple[jax.Array, jax.Array]:
+        spectrogram, frame_mask = self.model.apply(
+            self.model_variables,
+            input_ids,
+            dt=dt,
+            truncation_value=truncation_value,
+            rng=rng,
+            max_frames=max_frames,
+            method="sample",
+        )
+        spectrogram_lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
+        waveform_lengths = self.vocoder.config.waveform_lengths(spectrogram_lengths)
+        waveform = self.vocoder.apply(self.vocoder_variables, spectrogram)
+        return waveform, waveform_lengths
+
+    def synthesize(
+        self,
+        input_ids: jax.Array,
+        dt: float = 0.1,
+        truncation_value: Optional[float] = None,
+        rng: Optional[jax.Array] = None,
+        max_frames: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Batched jitted path: (padded waveforms (B, Tmax), lengths (B,))."""
+        if rng is None:
+            rng = jax.random.key(0)
+        return self._synth(jnp.asarray(input_ids), rng, dt=dt, truncation_value=truncation_value, max_frames=max_frames)
+
+    def __call__(
+        self,
+        input_ids,
+        dt: float = 0.1,
+        truncation_value: Optional[float] = None,
+        rng: Optional[jax.Array] = None,
+        max_frames: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Reference-signature path (models.py:223-256): list of (1, T_i)
+        trimmed waveforms."""
+        waveform, lengths = self.synthesize(input_ids, dt, truncation_value, rng, max_frames)
+        waveform = np.asarray(waveform)
+        lengths = np.asarray(lengths)
+        return [w[None, :l] for w, l in zip(waveform, lengths)]

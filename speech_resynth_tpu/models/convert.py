@@ -1,0 +1,237 @@
+"""Checkpoint conversion: HF/torch state dicts -> our Flax param trees.
+
+The reference's published checkpoints are HF-format torch weights
+(README.md:43 ``ryota-komatsu/flow_matching_with_hifigan``; the vocoder is an
+HF ``FastSpeech2ConformerHifiGan``; the LM an HF ``LlamaForCausalLM``).  These
+functions give byte-exact weight import so our TPU models reproduce the
+reference's numerics (SURVEY.md §7 hard part 4).
+
+Layout conventions (ours):
+  Conv1d kernel   (K, I, O)   — torch stores (O, I, K); transpose (2, 1, 0)
+  ConvT1d kernel  (K, I, O)   — torch stores (I, O, K); transpose (2, 0, 1)
+  Dense kernel    (I, O)      — torch Linear stores (O, I); transpose
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def conv1d_w(t) -> np.ndarray:
+    return _np(t).transpose(2, 1, 0)
+
+
+def convt1d_w(t) -> np.ndarray:
+    return _np(t).transpose(2, 0, 1)
+
+
+def dense_w(t) -> np.ndarray:
+    return _np(t).T
+
+
+def hifigan_generator_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """HF FastSpeech2ConformerHifiGan state_dict -> HifiGanGenerator params."""
+    sd = dict(state_dict)
+    params: Dict = {}
+
+    params["conv_pre"] = {"kernel": conv1d_w(sd["conv_pre.weight"]), "bias": _np(sd["conv_pre.bias"])}
+    params["conv_post"] = {"kernel": conv1d_w(sd["conv_post.weight"]), "bias": _np(sd["conv_post.bias"])}
+
+    i = 0
+    while f"upsampler.{i}.weight" in sd:
+        params[f"upsampler_{i}"] = {
+            "kernel": convt1d_w(sd[f"upsampler.{i}.weight"]),
+            "bias": _np(sd[f"upsampler.{i}.bias"]),
+        }
+        i += 1
+
+    n = 0
+    while f"resblocks.{n}.convs1.0.weight" in sd:
+        block: Dict = {}
+        j = 0
+        while f"resblocks.{n}.convs1.{j}.weight" in sd:
+            block[f"convs1_{j}"] = {
+                "kernel": conv1d_w(sd[f"resblocks.{n}.convs1.{j}.weight"]),
+                "bias": _np(sd[f"resblocks.{n}.convs1.{j}.bias"]),
+            }
+            block[f"convs2_{j}"] = {
+                "kernel": conv1d_w(sd[f"resblocks.{n}.convs2.{j}.weight"]),
+                "bias": _np(sd[f"resblocks.{n}.convs2.{j}.bias"]),
+            }
+            j += 1
+        params[f"resblocks_{n}"] = block
+        n += 1
+
+    return params
+
+
+def hifigan_generator_buffers(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    out = {}
+    if "mean" in state_dict:
+        out["mean"] = _np(state_dict["mean"])
+    if "scale" in state_dict:
+        out["scale"] = _np(state_dict["scale"])
+    return out
+
+
+def cfm_model_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """Reference ConditionalFlowMatchingModel state_dict -> our CFM params.
+
+    Key map derived from the reference module tree
+    (src/flow_matching/models.py:46-74, modules/transformer.py:150-170).
+    """
+    sd = dict(state_dict)
+    params: Dict = {}
+    buffers: Dict = {}
+
+    params["to_cond_emb"] = {"embedding": _np(sd["to_cond_emb.weight"])}
+    # time_cond_mlp = Sequential(RandomFourierEmbed, Linear, SiLU)
+    buffers["time_cond_mlp"] = {"fourier": {"weights": _np(sd["time_cond_mlp.0.weights"])}}
+    params["time_cond_mlp"] = {
+        "proj": {"kernel": dense_w(sd["time_cond_mlp.1.weight"]), "bias": _np(sd["time_cond_mlp.1.bias"])}
+    }
+    params["to_embed"] = {"kernel": dense_w(sd["to_embed.weight"]), "bias": _np(sd["to_embed.bias"])}
+    params["conv_embed"] = {
+        "kernel": conv1d_w(sd["conv_embed.dw_conv1d.0.weight"]),
+        "bias": _np(sd["conv_embed.dw_conv1d.0.bias"]),
+    }
+    params["to_pred"] = {"kernel": dense_w(sd["to_pred.weight"])}
+
+    tr: Dict = {}
+    ind = 0
+    while f"transformer.layers.{ind}.1.to_weight.weight" in sd:
+        p = f"transformer.layers.{ind}"
+        if f"{p}.0.weight" in sd:
+            tr[f"layers_{ind}_skip_combiner"] = {"kernel": dense_w(sd[f"{p}.0.weight"])}
+        tr[f"layers_{ind}_attn_norm"] = {"to_weight": _np(sd[f"{p}.1.to_weight.weight"])}
+        tr[f"layers_{ind}_attn"] = {
+            "to_qkv": {"kernel": dense_w(sd[f"{p}.2.to_qkv.weight"])},
+            "to_out": {"kernel": dense_w(sd[f"{p}.2.to_out.weight"])},
+        }
+        tr[f"layers_{ind}_ff_norm"] = {"to_weight": _np(sd[f"{p}.3.to_weight.weight"])}
+        tr[f"layers_{ind}_ff"] = {
+            "conv1_kernel": conv1d_w(sd[f"{p}.4.conv1.weight"]),
+            "conv1_bias": _np(sd[f"{p}.4.conv1.bias"]),
+            "conv2_kernel": conv1d_w(sd[f"{p}.4.conv2.weight"]),
+            "conv2_bias": _np(sd[f"{p}.4.conv2.bias"]),
+        }
+        ind += 1
+    tr["final_norm"] = {"weight": _np(sd["transformer.final_norm.weight"])}
+    params["transformer"] = tr
+
+    if "duration_predictor.conv.weight" in sd:
+        params["duration_predictor"] = {
+            "kernel": conv1d_w(sd["duration_predictor.conv.weight"]),
+            "bias": _np(sd["duration_predictor.conv.bias"]),
+        }
+
+    return {"params": params, "buffers": buffers}
+
+
+def llama_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """HF LlamaForCausalLM state_dict -> our LlamaLM params."""
+    sd = dict(state_dict)
+    params: Dict = {
+        "embed_tokens": {"embedding": _np(sd["model.embed_tokens.weight"])},
+        "final_norm": {"weight": _np(sd["model.norm.weight"])},
+        "lm_head": {"kernel": dense_w(sd["lm_head.weight"])},
+    }
+    i = 0
+    while f"model.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"model.layers.{i}"
+        params[f"layers_{i}"] = {
+            "input_norm": {"weight": _np(sd[f"{p}.input_layernorm.weight"])},
+            "post_attn_norm": {"weight": _np(sd[f"{p}.post_attention_layernorm.weight"])},
+            "q_proj": {"kernel": dense_w(sd[f"{p}.self_attn.q_proj.weight"])},
+            "k_proj": {"kernel": dense_w(sd[f"{p}.self_attn.k_proj.weight"])},
+            "v_proj": {"kernel": dense_w(sd[f"{p}.self_attn.v_proj.weight"])},
+            "o_proj": {"kernel": dense_w(sd[f"{p}.self_attn.o_proj.weight"])},
+            "gate_proj": {"kernel": dense_w(sd[f"{p}.mlp.gate_proj.weight"])},
+            "up_proj": {"kernel": dense_w(sd[f"{p}.mlp.up_proj.weight"])},
+            "down_proj": {"kernel": dense_w(sd[f"{p}.mlp.down_proj.weight"])},
+        }
+        i += 1
+    return params
+
+
+def hubert_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """HF HubertModel state_dict -> our HubertEncoder params.
+
+    Covers the base architecture (group-norm first conv, layer-norm-less
+    conv stack, conv positional embedding with weight_norm, post-LN
+    transformer) used by hubert-base-ls960 / mhubert-base.
+    """
+    sd = dict(state_dict)
+    params: Dict = {}
+
+    # conv feature extractor: 7 layers, layer 0 has group norm
+    fe: Dict = {}
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.conv.weight" in sd:
+        layer = {"kernel": conv1d_w(sd[f"feature_extractor.conv_layers.{i}.conv.weight"])}
+        if f"feature_extractor.conv_layers.{i}.layer_norm.weight" in sd:
+            layer["norm_scale"] = _np(sd[f"feature_extractor.conv_layers.{i}.layer_norm.weight"])
+            layer["norm_bias"] = _np(sd[f"feature_extractor.conv_layers.{i}.layer_norm.bias"])
+        fe[f"conv_layers_{i}"] = layer
+        i += 1
+    params["feature_extractor"] = fe
+
+    params["feature_projection_norm"] = {
+        "scale": _np(sd["feature_projection.layer_norm.weight"]),
+        "bias": _np(sd["feature_projection.layer_norm.bias"]),
+    }
+    params["feature_projection_dense"] = {
+        "kernel": dense_w(sd["feature_projection.projection.weight"]),
+        "bias": _np(sd["feature_projection.projection.bias"]),
+    }
+
+    # conv positional embedding (weight_norm'd conv, groups=16, dim=2)
+    if "encoder.pos_conv_embed.conv.weight_g" in sd:
+        g = _np(sd["encoder.pos_conv_embed.conv.weight_g"])
+        v = _np(sd["encoder.pos_conv_embed.conv.weight_v"])
+    else:  # torch >= 2.1 parametrized names
+        g = _np(sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"])
+        v = _np(sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"])
+    # torch weight_norm(dim=2) for this conv: norm over (O, I) per tap k
+    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / norm
+    params["pos_conv_kernel"] = conv1d_w(w)
+    params["pos_conv_bias"] = _np(sd["encoder.pos_conv_embed.conv.bias"])
+    params["encoder_norm"] = {
+        "scale": _np(sd["encoder.layer_norm.weight"]),
+        "bias": _np(sd["encoder.layer_norm.bias"]),
+    }
+
+    i = 0
+    while f"encoder.layers.{i}.attention.q_proj.weight" in sd:
+        p = f"encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "q_proj": {"kernel": dense_w(sd[f"{p}.attention.q_proj.weight"]), "bias": _np(sd[f"{p}.attention.q_proj.bias"])},
+            "k_proj": {"kernel": dense_w(sd[f"{p}.attention.k_proj.weight"]), "bias": _np(sd[f"{p}.attention.k_proj.bias"])},
+            "v_proj": {"kernel": dense_w(sd[f"{p}.attention.v_proj.weight"]), "bias": _np(sd[f"{p}.attention.v_proj.bias"])},
+            "o_proj": {"kernel": dense_w(sd[f"{p}.attention.out_proj.weight"]), "bias": _np(sd[f"{p}.attention.out_proj.bias"])},
+            "attn_norm": {"scale": _np(sd[f"{p}.layer_norm.weight"]), "bias": _np(sd[f"{p}.layer_norm.bias"])},
+            "ff_norm": {
+                "scale": _np(sd[f"{p}.final_layer_norm.weight"]),
+                "bias": _np(sd[f"{p}.final_layer_norm.bias"]),
+            },
+            "ff_in": {
+                "kernel": dense_w(sd[f"{p}.feed_forward.intermediate_dense.weight"]),
+                "bias": _np(sd[f"{p}.feed_forward.intermediate_dense.bias"]),
+            },
+            "ff_out": {
+                "kernel": dense_w(sd[f"{p}.feed_forward.output_dense.weight"]),
+                "bias": _np(sd[f"{p}.feed_forward.output_dense.bias"]),
+            },
+        }
+        i += 1
+
+    return params

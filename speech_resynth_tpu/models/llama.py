@@ -1,0 +1,249 @@
+"""Llama-architecture causal LM for speech-unit language modeling.
+
+Parity target: HF ``LlamaForCausalLM`` as configured by the reference
+(/root/reference/src/speechlm/train.py:109-120; configs/speechlm/hubert.yaml:
+vocab 16384+2 specials, hidden 768, intermediate 3072, 12 layers, 12 heads).
+Architecture: RoPE (full head dim, theta 1e4), RMSNorm (eps 1e-6), SwiGLU MLP,
+causal attention, untied LM head, no biases.
+
+Beyond the reference (which only scores sequences), this module provides
+KV-cached autoregressive decoding — single-token decode steps against a
+static-shape cache, jit-compiled once (BASELINE.json north star).
+
+TPU design: attention uses the shared flash kernel (ops/attention.py); the
+decode path uses a dense dot against the cache (single query token — MXU-bound
+matmuls, no flash needed).  Shardable over (data, model): the Dense kernels
+carry logical axis metadata for TP when enabled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.precision import Policy, DEFAULT
+from ..ops.attention import dot_product_attention
+from .transformer import apply_rotary
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 16386
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    pad_token_id: int = 0
+    bos_token_id: Optional[int] = None
+    eos_token_id: Optional[int] = 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _rope_tables(positions: jax.Array, head_dim: int, theta: float) -> jax.Array:
+    """(..., L) int positions -> (..., L, head_dim) angle table."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+class LlamaRMSNorm(nn.Module):
+    hidden_size: int
+    eps: float
+    policy: Policy = DEFAULT
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.hidden_size,), self.policy.param_dtype)
+        x32 = x.astype(jnp.float32)
+        normed = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps)
+        # HF Llama casts normed activations back before the weight multiply
+        return (w.astype(jnp.float32) * normed).astype(self.policy.compute_dtype)
+
+
+class LlamaLayer(nn.Module):
+    config: LlamaConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    def _dense(self, features, name):
+        return nn.Dense(
+            features,
+            use_bias=False,
+            param_dtype=self.policy.param_dtype,
+            dtype=self.policy.compute_dtype,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        rope: jax.Array,
+        mask: Optional[jax.Array],
+        cache: Optional[Dict[str, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ):
+        cfg = self.config
+        b, n, _ = x.shape
+        h, d = cfg.num_attention_heads, cfg.head_dim
+
+        residual = x
+        hs = LlamaRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.policy, name="input_norm")(x)
+        q = self._dense(cfg.hidden_size, "q_proj")(hs).reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = self._dense(cfg.hidden_size, "k_proj")(hs).reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        v = self._dense(cfg.hidden_size, "v_proj")(hs).reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        q = apply_rotary(rope, q)
+        k = apply_rotary(rope, k)
+
+        new_cache = None
+        if cache is not None:
+            # decode/prefill: write this chunk's k/v at cache_index, attend
+            # causally relative to absolute positions
+            k_cache = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, cache_index, 0))
+            new_cache = {"k": k_cache, "v": v_cache}
+            max_len = k_cache.shape[2]
+            q_pos = cache_index + jnp.arange(n)  # (n,)
+            k_pos = jnp.arange(max_len)  # (max_len,)
+            allowed = k_pos[None, :] <= q_pos[:, None]  # (n, max_len)
+            scale = 1.0 / (d**0.5)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32) * scale
+            s = jnp.where(allowed[None, None], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1).astype(v_cache.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", p, v_cache)
+        else:
+            attn = dot_product_attention(q, k, v, mask=mask, causal=True, implementation=self.attn_implementation)
+
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, cfg.hidden_size)
+        x = residual + self._dense(cfg.hidden_size, "o_proj")(attn)
+
+        residual = x
+        hs = LlamaRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.policy, name="post_attn_norm")(x)
+        gate = self._dense(cfg.intermediate_size, "gate_proj")(hs)
+        up = self._dense(cfg.intermediate_size, "up_proj")(hs)
+        down = self._dense(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
+        return residual + down, new_cache
+
+
+class LlamaLM(nn.Module):
+    config: LlamaConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        positions: Optional[jax.Array] = None,
+        cache: Optional[Tuple[Dict[str, jax.Array], ...]] = None,
+        cache_index: Optional[jax.Array] = None,
+    ):
+        """Returns (logits, new_cache).
+
+        Training/scoring: pass (B, L) ids + optional (B, L) attention mask.
+        Decode: pass 1-token ids, the cache pytree, and the write index.
+        """
+        cfg = self.config
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size, param_dtype=self.policy.param_dtype, name="embed_tokens")(
+            input_ids
+        ).astype(self.policy.compute_dtype)
+
+        if positions is None:
+            if cache_index is not None:
+                positions = cache_index + jnp.arange(input_ids.shape[1])[None, :]
+            else:
+                positions = jnp.arange(input_ids.shape[1])[None, :]
+        rope = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        if rope.ndim == 3:  # (B, L, D) -> broadcast over heads
+            rope = rope[:, None]
+
+        mask = attention_mask.astype(bool) if attention_mask is not None else None
+
+        new_caches = []
+        for i in range(cfg.num_hidden_layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, new_c = LlamaLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")(
+                x, rope, mask, layer_cache, cache_index
+            )
+            new_caches.append(new_c)
+
+        x = LlamaRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.policy, name="final_norm")(x)
+        logits = nn.Dense(
+            cfg.vocab_size,
+            use_bias=False,
+            param_dtype=self.policy.param_dtype,
+            dtype=jnp.float32,
+            name="lm_head",
+        )(x)
+        return logits, (tuple(new_caches) if cache is not None else None)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        cfg = self.config
+        shape = (batch_size, cfg.num_attention_heads, max_len, cfg.head_dim)
+        one = lambda: {"k": jnp.zeros(shape, self.policy.compute_dtype), "v": jnp.zeros(shape, self.policy.compute_dtype)}
+        return tuple(one() for _ in range(cfg.num_hidden_layers))
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean next-token cross entropy with -100 ignore (HF ``.loss`` parity,
+    speechlm/train.py:162-167)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def sequence_pseudo_log_prob(logits: jax.Array, input_ids: jax.Array, pad_id: int = 0) -> jax.Array:
+    """Length-normalized pseudo-log-prob scoring (speechlm/eval.py:83-89).
+
+    The reference computes −CE against labels padded by one (-100) and shifted,
+    then sums and divides by the count of nonzero terms.
+    """
+    labels = jnp.where(input_ids == pad_id, -100, input_ids)
+    shift_labels = jnp.concatenate([labels[:, 1:], jnp.full_like(labels[:, :1], -100)], axis=1)
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_scores = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    tok_scores = jnp.where(valid, tok_scores, 0.0)
+    # reference divides by count of *nonzero* scores (eval.py:89)
+    nonzero = jnp.sum((tok_scores != 0.0).astype(jnp.float32), axis=1)
+    return jnp.sum(tok_scores, axis=1) / jnp.maximum(nonzero, 1.0)
+
+
+def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_tokens: int, eos_token_id: int = 1):
+    """KV-cached greedy generation; returns (B, prompt+max_new) ids."""
+    b, p = prompt_ids.shape
+    total = p + max_new_tokens
+    cache = model.init_cache(b, total)
+
+    logits, cache = model.apply(
+        variables, prompt_ids, cache=cache, cache_index=jnp.asarray(0), method="__call__"
+    )
+    next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(prompt_ids.dtype)
+    done = next_tok == eos_token_id
+
+    def step(carry, i):
+        cache, tok, done = carry
+        logits, cache = model.apply(variables, tok[:, None], cache=cache, cache_index=p + i)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(tok.dtype)
+        nxt = jnp.where(done, jnp.asarray(eos_token_id, tok.dtype), nxt)
+        done = done | (nxt == eos_token_id)
+        return (cache, nxt, done), tok
+
+    (_, last, _), toks = jax.lax.scan(step, (cache, next_tok, done), jnp.arange(max_new_tokens - 1))
+    seq = jnp.concatenate([prompt_ids, jnp.swapaxes(toks, 0, 1), last[:, None]], axis=1)
+    return seq

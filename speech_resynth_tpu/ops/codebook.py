@@ -1,0 +1,75 @@
+"""Framewise k-means codebook assignment (vector quantization).
+
+Capability parity with textlesslib's sklearn k-means quantizer inference
+(argmin Euclidean frame->center; consumed by the reference at
+/root/reference/src/flow_matching/utils/textless.py:13-21, vocab 100/2000).
+
+TPU-first formulation: argmin_c ||x - c||^2 == argmax_c (x.c - ||c||^2 / 2),
+i.e. one (frames x D) @ (D x K) matmul on the MXU plus a lane argmax — the
+Pallas kernel tiles frames and keeps the (padded) codebook resident in VMEM
+(768 x 2048 f32 = 6 MB).  A lax reference implementation backs CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def assign_reference(x: jax.Array, centers: jax.Array) -> jax.Array:
+    """(..., D) frames, (K, D) centers -> (...,) int32 nearest-center ids."""
+    score = jnp.einsum("...d,kd->...k", x, centers, preferred_element_type=jnp.float32)
+    score = score - 0.5 * jnp.sum(centers.astype(jnp.float32) ** 2, axis=-1)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def _assign_kernel(x_ref, ct_ref, half_sq_ref, o_ref, *, k: int):
+    x = x_ref[...].astype(jnp.float32)  # (blk_n, D)
+    score = jax.lax.dot_general(
+        x, ct_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (blk_n, K_pad)
+    score = score - half_sq_ref[...]  # (1, K_pad) broadcast
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    score = jnp.where(k_ids < k, score, -jnp.inf)
+    o_ref[...] = jnp.argmax(score, axis=-1).astype(jnp.int32)[:, None]
+
+
+def assign_pallas(x: jax.Array, centers: jax.Array, blk_n: int = 256, interpret: bool = False) -> jax.Array:
+    """(N, D) frames -> (N,) ids via a single fused MXU kernel."""
+    n, d = x.shape
+    k = centers.shape[0]
+    d_pad = -(-d // 128) * 128
+    k_pad = -(-k // 128) * 128
+    n_pad = -(-n // blk_n) * blk_n
+
+    xp = jnp.pad(x, ((0, n_pad - n), (0, d_pad - d)))
+    ct = jnp.pad(centers.T, ((0, d_pad - d), (0, k_pad - k)))  # (D_pad, K_pad)
+    half_sq = jnp.pad(0.5 * jnp.sum(centers.astype(jnp.float32) ** 2, axis=-1), (0, k_pad - k))[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_assign_kernel, k=k),
+        grid=(n_pad // blk_n,),
+        in_specs=[
+            pl.BlockSpec((blk_n, d_pad), lambda i: (i, 0)),
+            pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((blk_n, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        interpret=interpret,
+    )(xp, ct, half_sq)
+    return out[:n, 0]
+
+
+def assign(x: jax.Array, centers: jax.Array, implementation: str = "auto") -> jax.Array:
+    """Nearest-center assignment; frames (..., D) -> ids (...)."""
+    if implementation == "auto":
+        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if implementation == "pallas":
+        shape = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        return assign_pallas(flat, centers).reshape(shape)
+    return assign_reference(x, centers)

@@ -1,0 +1,121 @@
+"""CFM model tests: loss semantics, masking, Euler sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_resynth_tpu.dsp.mel import MEL_PAD_VALUE
+from speech_resynth_tpu.core.precision import FLOAT32
+from speech_resynth_tpu.models.cfm import CFMConfig, ConditionalFlowMatchingModel
+
+
+def tiny_config(**kw):
+    base = dict(
+        vocab_size=11,
+        dim_in=8,
+        dim_cond_emb=12,
+        hidden_size=16,
+        depth=2,
+        heads=2,
+        intermediate_size=24,
+        conv_pos_embed_kernel_size=7,
+        conv_pos_embed_groups=16,
+    )
+    base.update(kw)
+    return CFMConfig(**base)
+
+
+def make_model(**kw):
+    cfg = tiny_config(**kw)
+    model = ConditionalFlowMatchingModel(cfg, policy=FLOAT32, attn_implementation="xla")
+    rng = jax.random.key(0)
+    B, N = 2, 10
+    ids = jax.random.randint(jax.random.key(1), (B, N), 1, cfg.vocab_size + 1)
+    mels = jax.random.normal(jax.random.key(2), (B, N, cfg.dim_in))
+    variables = model.init({"params": rng}, ids, mels, jnp.ones((B, N), jnp.int32), rng=jax.random.key(3))
+    return model, variables, cfg
+
+
+def test_loss_is_finite_and_scalar():
+    model, variables, cfg = make_model()
+    ids = jnp.ones((2, 10), jnp.int32)
+    mels = jnp.zeros((2, 10, cfg.dim_in))
+    (loss, aux), = [model.apply(variables, ids, mels, rng=jax.random.key(0))]
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+    assert float(aux["duration_loss"]) == 0.0
+
+
+def test_padded_frames_do_not_affect_loss():
+    model, variables, cfg = make_model()
+    ids = jnp.concatenate([jnp.ones((1, 6), jnp.int32) * 3, jnp.zeros((1, 4), jnp.int32)], axis=1)
+    mels_valid = jax.random.normal(jax.random.key(5), (1, 6, cfg.dim_in))
+    pad = jnp.full((1, 4, cfg.dim_in), -100.0)
+
+    mels_a = jnp.concatenate([mels_valid, pad], axis=1)
+    # same valid frames, garbage in padded region marked by -100 sentinel rows
+    loss_a, _ = model.apply(variables, ids, mels_a, rng=jax.random.key(7))
+
+    # with identical rng, replacing pad rows (still all -100) must not matter
+    loss_b, _ = model.apply(variables, ids, mels_a, rng=jax.random.key(7))
+    assert float(loss_a) == float(loss_b)
+
+
+def test_sample_shapes_and_pad_fill():
+    model, variables, cfg = make_model()
+    ids = jnp.concatenate([jnp.ones((1, 7), jnp.int32) * 2, jnp.zeros((1, 3), jnp.int32)], axis=1)
+    mels, mask = model.apply(
+        variables, ids, dt=0.25, truncation_value=1.0, rng=jax.random.key(0), method="sample"
+    )
+    assert mels.shape == (1, 10, cfg.dim_in)
+    np.testing.assert_array_equal(np.asarray(mask[0]), [True] * 7 + [False] * 3)
+    np.testing.assert_allclose(np.asarray(mels[0, 7:]), MEL_PAD_VALUE, rtol=1e-6)
+    # truncation keeps values bounded-ish; just check finiteness
+    assert np.all(np.isfinite(np.asarray(mels)))
+
+
+def test_sample_deterministic_given_rng():
+    model, variables, _ = make_model()
+    ids = jnp.ones((1, 8), jnp.int32)
+    a, _ = model.apply(variables, ids, dt=0.5, rng=jax.random.key(4), method="sample")
+    b, _ = model.apply(variables, ids, dt=0.5, rng=jax.random.key(4), method="sample")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_duration_prediction_path():
+    model, variables, cfg = make_model(predict_duration=True)
+    B, L = 2, 6
+    ids = jnp.ones((B, L), jnp.int32) * 4
+    durs = jnp.full((B, L), 2, jnp.int32)
+    N = 12  # sum of durations
+    mels = jax.random.normal(jax.random.key(9), (B, N, cfg.dim_in))
+
+    loss, aux = model.apply(variables, ids, mels, durs, rng=jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert float(aux["duration_loss"]) > 0.0
+
+    mels_out, mask = model.apply(
+        variables, ids, dt=0.5, rng=jax.random.key(2), max_frames=32, method="sample"
+    )
+    assert mels_out.shape == (B, 32, cfg.dim_in)
+    # frame mask length = sum of predicted durations per row
+    assert np.all(np.asarray(mask.sum(axis=1)) <= 32)
+
+
+def test_gradients_flow():
+    model, variables, cfg = make_model()
+    ids = jnp.ones((2, 10), jnp.int32)
+    mels = jax.random.normal(jax.random.key(3), (2, 10, cfg.dim_in))
+
+    def loss_fn(params):
+        loss, _ = model.apply(
+            {"params": params, "buffers": variables["buffers"]}, ids, mels, rng=jax.random.key(0)
+        )
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+    assert total > 0

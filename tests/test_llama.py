@@ -1,0 +1,127 @@
+"""Llama speech-LM parity tests against HF torch (random weights, converted)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_resynth_tpu.core.precision import FLOAT32
+from speech_resynth_tpu.models import llama as L
+from speech_resynth_tpu.models.convert import llama_params
+
+
+def tiny_cfg():
+    return L.LlamaConfig(
+        vocab_size=50,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+    )
+
+
+def hf_model(cfg):
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    return LlamaForCausalLM(
+        HFLlamaConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_hidden_layers=cfg.num_hidden_layers,
+            num_attention_heads=cfg.num_attention_heads,
+            pad_token_id=cfg.pad_token_id,
+            bos_token_id=cfg.bos_token_id,
+            eos_token_id=cfg.eos_token_id,
+            attn_implementation="eager",
+        )
+    ).eval()
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = tiny_cfg()
+    torch_model = hf_model(cfg)
+    model = L.LlamaLM(cfg, policy=FLOAT32, attn_implementation="xla")
+    params = llama_params(torch_model.state_dict())
+    return cfg, torch_model, model, {"params": params}
+
+
+def test_logits_match_hf(models):
+    import torch
+
+    cfg, torch_model, model, variables = models
+    ids = np.random.default_rng(0).integers(2, cfg.vocab_size, (2, 12))
+
+    with torch.no_grad():
+        theirs = torch_model(input_ids=torch.from_numpy(ids)).logits.numpy()
+
+    ours, _ = model.apply(variables, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-4)
+
+
+def test_loss_matches_hf(models):
+    import torch
+
+    cfg, torch_model, model, variables = models
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, cfg.vocab_size, (2, 10))
+    labels = ids.copy()
+    labels[:, -2:] = -100
+
+    with torch.no_grad():
+        theirs = torch_model(input_ids=torch.from_numpy(ids), labels=torch.from_numpy(labels)).loss.item()
+
+    logits, _ = model.apply(variables, jnp.asarray(ids))
+    ours = float(L.causal_lm_loss(logits, jnp.asarray(labels)))
+    assert abs(ours - theirs) < 2e-4
+
+
+def test_pseudo_log_prob_matches_reference_formula(models):
+    import torch
+    import torch.nn.functional as F
+
+    cfg, torch_model, model, variables = models
+    ids = np.random.default_rng(2).integers(2, cfg.vocab_size, (3, 8))
+    ids[1, 6:] = 0  # padded row
+
+    # reference computation (speechlm/eval.py:83-89)
+    with torch.no_grad():
+        t_ids = torch.from_numpy(ids)
+        labels = t_ids.masked_fill(t_ids.eq(0), -100)
+        logits = torch_model(input_ids=t_ids, labels=labels).logits.transpose(1, 2)
+        labels = F.pad(labels, (0, 1), value=-100)
+        shifted = labels[:, 1:]
+        scores = -F.cross_entropy(logits, shifted, reduction="none")
+        theirs = (scores.sum(dim=1) / scores.ne(0).sum(dim=1)).numpy()
+
+    our_logits, _ = model.apply(variables, jnp.asarray(ids))
+    ours = np.asarray(L.sequence_pseudo_log_prob(our_logits, jnp.asarray(ids)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_kv_cache_decode_matches_full_forward(models):
+    cfg, _, model, variables = models
+    ids = jnp.asarray(np.random.default_rng(3).integers(2, cfg.vocab_size, (2, 9)))
+
+    full_logits, _ = model.apply(variables, ids)
+
+    cache = model.init_cache(2, 16)
+    # prefill first 5 tokens, then decode one at a time
+    logits, cache = model.apply(variables, ids[:, :5], cache=cache, cache_index=jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full_logits[:, :5]), rtol=2e-3, atol=2e-4)
+    for t in range(5, 9):
+        step_logits, cache = model.apply(variables, ids[:, t : t + 1], cache=cache, cache_index=jnp.asarray(t))
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_greedy_decode_runs_and_stops(models):
+    cfg, _, model, variables = models
+    prompt = jnp.asarray([[2, 3, 4]])
+    seq = L.greedy_decode(model, variables, prompt, max_new_tokens=5, eos_token_id=cfg.eos_token_id)
+    assert seq.shape == (1, 8)
+    np.testing.assert_array_equal(np.asarray(seq[:, :3]), np.asarray(prompt))
