@@ -27,13 +27,13 @@ def main():
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 2001, (batch, units_per_seq)), jnp.int32)
 
     def run(rng):
-        return decoder._synthesize(ids, rng, dt=0.0625, truncation_value=1.0, max_frames=None)
+        return decoder.synthesize(ids, dt=0.0625, truncation_value=1.0, rng=rng)
 
     # warmup/compile
     wav, lengths = run(jax.random.key(0))
     jax.block_until_ready(wav)
 
-    iters = 5
+    iters = 20
     start = time.perf_counter()
     for i in range(iters):
         wav, lengths = run(jax.random.key(i + 1))

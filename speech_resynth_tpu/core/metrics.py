@@ -1,0 +1,125 @@
+"""Metrics, logging, and profiling.
+
+Upgrades the reference's observability (SURVEY.md §5: TensorBoard scalars +
+wall-clock prints, no profiler) to a first-class module:
+  * ``MetricsWriter`` — TensorBoard (tensorboardX) scalars/audio/figures with
+    a no-op fallback, rank-0 gating like the reference's ``if rank == 0``
+    blocks (hifigan/train.py:187, speechlm/train.py:188).
+  * ``StepTimer`` — step-time / examples-per-sec / RTF counters.
+  * ``trace_span`` — ``jax.profiler`` TraceAnnotation wrapper so device
+    timelines carry stage names.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+class MetricsWriter:
+    """TensorBoard writer; silently no-ops on non-zero ranks or if
+    tensorboardX is unavailable."""
+
+    def __init__(self, log_dir: str | Path, enabled: Optional[bool] = None):
+        if enabled is None:
+            enabled = jax.process_index() == 0
+        self._writer = None
+        if enabled:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(str(log_dir))
+            except ImportError:
+                pass
+
+    def scalar(self, tag: str, value, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_scalar(tag, float(value), step)
+
+    def scalars(self, values: dict, step: int, prefix: str = "") -> None:
+        for k, v in values.items():
+            self.scalar(f"{prefix}{k}", v, step)
+
+    def audio(self, tag: str, waveform, step: int, sample_rate: int = 16000) -> None:
+        if self._writer is not None:
+            wav = np.asarray(waveform, np.float32).reshape(-1, 1)
+            self._writer.add_audio(tag, wav, step, sample_rate=sample_rate)
+
+    def figure(self, tag: str, fig, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_figure(tag, fig, step)
+
+    def spectrogram_figure(self, tag: str, spectrogram, step: int) -> None:
+        """Mel-spectrogram heatmap (hifigan/utils.py:11-19 capability)."""
+        if self._writer is None:
+            return
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 2))
+        im = ax.imshow(np.asarray(spectrogram), aspect="auto", origin="lower", interpolation="none")
+        plt.colorbar(im, ax=ax)
+        self._writer.add_figure(tag, fig, step)
+        plt.close(fig)
+
+    def flush(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+class StepTimer:
+    """Rolling step-time and throughput tracker."""
+
+    def __init__(self, window: int = 50):
+        self._window = window
+        self._times: list[float] = []
+        self._last: Optional[float] = None
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        dt = None
+        if self._last is not None:
+            dt = now - self._last
+            self._times.append(dt)
+            if len(self._times) > self._window:
+                self._times.pop(0)
+        self._last = now
+        return dt
+
+    @property
+    def mean_step_time(self) -> float:
+        return float(np.mean(self._times)) if self._times else 0.0
+
+    def throughput(self, items_per_step: float) -> float:
+        st = self.mean_step_time
+        return items_per_step / st if st > 0 else 0.0
+
+    def rtf(self, audio_seconds_per_step: float) -> float:
+        """Real-time factor: audio seconds produced per wall-clock second."""
+        return self.throughput(audio_seconds_per_step)
+
+
+@contextlib.contextmanager
+def trace_span(name: str):
+    """Named span on the jax.profiler timeline."""
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+def start_profiler_trace(log_dir: str | Path) -> None:
+    jax.profiler.start_trace(str(log_dir))
+
+
+def stop_profiler_trace() -> None:
+    jax.profiler.stop_trace()

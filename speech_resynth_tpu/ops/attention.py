@@ -212,7 +212,7 @@ def dot_product_attention(
     implementation: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
     """
     if implementation == "auto":
-        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+        implementation = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if implementation == "pallas":
         return _flash_attention(q, k, v, mask, causal)
     return attention_reference(q, k, v, mask, causal)

@@ -67,7 +67,7 @@ def assign_pallas(x: jax.Array, centers: jax.Array, blk_n: int = 256, interpret:
 def assign(x: jax.Array, centers: jax.Array, implementation: str = "auto") -> jax.Array:
     """Nearest-center assignment; frames (..., D) -> ids (...)."""
     if implementation == "auto":
-        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+        implementation = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if implementation == "pallas":
         shape = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])

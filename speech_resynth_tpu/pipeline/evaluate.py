@@ -1,0 +1,78 @@
+"""Resynthesis evaluation harness: WER/CER/MOS for hyp and ref -> CSV.
+
+Stage parity with /root/reference/src/flow_matching/eval.py:22-96: batch
+resynthesis through the composite decoder, MOS on both hypothesis and
+reference audio, ASR transcription of both, corpus WER/CER with the
+reference's normalization pipelines, and the six-row CSV
+(WER/CER/MOS x hyp/ref).  ASR/MOS backends are pluggable
+(pipeline/scorers.py) since Whisper/UTMOS are host-side torch models.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from ..models.composite import ConditionalFlowMatchingWithHifiGan
+from ..text.normalize import cer, wer
+from .data import UnitDataset
+from .scorers import ASRScorer, MOSScorer, default_asr, default_mos
+
+
+def evaluate(
+    config,
+    decoder: Optional[ConditionalFlowMatchingWithHifiGan] = None,
+    asr: Optional[ASRScorer] = None,
+    mos: Optional[MOSScorer] = None,
+) -> pd.DataFrame:
+    dataset = UnitDataset(
+        config.dataset.test_file,
+        wav_dir=config.dataset.wav_dir,
+        ext_audio=config.dataset.ext_audio,
+    )
+    if decoder is None:
+        decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(config.flow_matching_with_hifigan.name)
+    asr = asr if asr is not None else default_asr(config)
+    mos = mos if mos is not None else default_mos(config)
+
+    dt = float(config.flow_matching.dt)
+    trunc = config.flow_matching.get("truncation_value")
+    batch_size = int(config.flow_matching_with_hifigan.batch_size)
+
+    transcripts, hyps, refs, hyp_scores, ref_scores = [], [], [], [], []
+    rng = jax.random.key(0)
+
+    for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
+        rng, sub = jax.random.split(rng)
+        wavs, lengths = decoder.synthesize(batch["input_ids"], dt=dt, truncation_value=trunc, rng=sub)
+        wavs, lengths = np.asarray(wavs), np.asarray(lengths)
+        ref_wavs, ref_lengths = dataset.wav_batch(batch["names"])
+
+        hyp_list = [w[: int(n)] for w, n in zip(wavs, lengths)]
+        ref_list = [w[: int(max(n, 0))] for w, n in zip(ref_wavs, ref_lengths)]
+
+        hyp_scores += [mos.score(w) for w in hyp_list]
+        ref_scores += [mos.score(w) for w in ref_list]
+        hyps += asr.transcribe(hyp_list)
+        refs += asr.transcribe(ref_list)
+        transcripts += batch["transcripts"]
+
+    df = pd.DataFrame(
+        [
+            wer(transcripts, hyps),
+            cer(transcripts, hyps),
+            float(np.mean(hyp_scores)) if hyp_scores else float("nan"),
+            wer(transcripts, refs),
+            cer(transcripts, refs),
+            float(np.mean(ref_scores)) if ref_scores else float("nan"),
+        ],
+        index=["WER (hyp)", "CER (hyp)", "MOS (hyp)", "WER (ref)", "CER (ref)", "MOS (ref)"],
+    )
+    result_path = Path(config.eval.result_path)
+    result_path.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(result_path)
+    return df

@@ -1,0 +1,468 @@
+"""Epoch-level training loops: CFM, HiFi-GAN, speech LM.
+
+L4 orchestration (SURVEY.md §3.2/3.3/3.5) over the jitted trainers in
+train/: datasets stream host batches, Orbax checkpoints every interval,
+TensorBoard scalars, in-training validation.
+
+Parity notes vs the reference:
+* CFM (flow_matching/train.py:102-220): same optimizer/schedule/clip and
+  20-epoch validation cadence — but OUR loop resumes from checkpoints (the
+  reference saves and never loads, train.py:167).
+* HiFi-GAN (hifigan/train.py:133-255): per-step D->G, per-epoch LR decay,
+  periodic validation mel-L1 + audio logging.  ``training_files`` may be a
+  tab-separated list OR the unit JSON (whose keys are utterance names).
+* SpeechLM (speechlm/train.py:74-215): full resume, per-epoch dev sLM21
+  scoring when the external ``zrc`` harness is installed.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.checkpoint import CheckpointManager
+from ..core.mesh import make_mesh, shard_batch
+from ..core.metrics import MetricsWriter, StepTimer
+from ..core.rng import RngStream
+from ..models.cfm import CFMConfig
+from ..models.hifigan import HifiGanConfig
+from ..models.llama import LlamaConfig
+from .data import MelDataset, UnitDataset, UnitTextDataset
+
+
+def _mel_file_list(training_files: str) -> Optional[str]:
+    """Accept the reference's MelDataset list format or a unit JSON."""
+    path = Path(training_files)
+    if path.suffix == ".json":
+        with open(path) as f:
+            names = list(json.load(f).keys())
+        list_path = path.with_suffix(".filelist")
+        list_path.write_text("\n".join(names) + "\n")
+        return str(list_path)
+    return training_files
+
+
+def validate_flow_matching(config, model, state, step: int, writer: MetricsWriter, max_utts: int = 16) -> None:
+    """In-training dev synthesis + WER/CER/MOS + audio logging
+    (flow_matching/train.py:24-99 capability, with pluggable scorers)."""
+    from .scorers import default_asr, default_mos
+    from ..text.normalize import cer, wer
+
+    dev_set = UnitDataset(config.dataset.dev_file, wav_dir=config.dataset.wav_dir, ext_audio=config.dataset.ext_audio)
+    if len(dev_set) == 0:
+        return
+    asr, mos = default_asr(config), default_mos(config)
+
+    vocoder = None
+    voc_path = Path(config.hifigan.path) if "hifigan" in config else None
+    if voc_path and (voc_path / "config.json").is_file():
+        from ..models.composite import _load_state_dict
+        from ..models.convert import hifigan_generator_params
+        from ..models.hifigan import HifiGanGenerator
+
+        vocoder = HifiGanGenerator(HifiGanConfig())
+        vocoder_vars = {"params": jax.tree_util.tree_map(np.asarray, hifigan_generator_params(_load_state_dict(voc_path)))}
+
+    variables = {"params": state.params, "buffers": state.extra}
+    fm = config.flow_matching
+    hyps, refs_text, hyp_scores, ref_scores = [], [], [], []
+    done = 0
+    for batch in dev_set.batches(min(8, max_utts), shuffle=False, drop_last=False):
+        mels, mask = model.apply(
+            variables,
+            batch["input_ids"],
+            dt=float(fm.dt),
+            truncation_value=fm.get("truncation_value"),
+            rng=jax.random.key(0),
+            method="sample",
+        )
+        if vocoder is None:
+            continue
+        wavs = np.asarray(vocoder.apply(vocoder_vars, mels))
+        lengths = np.asarray(HifiGanConfig().waveform_lengths(mask.sum(axis=1)))
+        ref_wavs, ref_lengths = dev_set.wav_batch(batch["names"])
+        hyp_list = [w[: int(n)] for w, n in zip(wavs, lengths)]
+        hyp_scores += [mos.score(w) for w in hyp_list]
+        ref_scores += [mos.score(w[: int(max(n, 0))]) for w, n in zip(ref_wavs, ref_lengths)]
+        hyps += asr.transcribe(hyp_list)
+        refs_text += batch["transcripts"]
+        if done < 5:
+            for j in range(min(len(hyp_list), 5 - done)):
+                writer.audio(f"hyp/{batch['names'][j]}", hyp_list[j], step)
+            done += len(hyp_list)
+        if len(hyps) >= max_utts:
+            break
+    if hyps:
+        writer.scalar("dev/WER", wer(refs_text, hyps), step)
+        writer.scalar("dev/CER", cer(refs_text, hyps), step)
+    if hyp_scores:
+        writer.scalar("dev/MOS", float(np.mean(hyp_scores)), step)
+        writer.scalar("dev/MOS (REF)", float(np.mean(ref_scores)), step)
+
+
+def train_flow_matching(config) -> None:
+    from ..models.speech_encoder import embedding as kmeans_embedding
+    from ..train.cfm import CFMTrainerConfig, make_trainer
+
+    fm = config.flow_matching
+    mesh = make_mesh()
+    model_config = CFMConfig(
+        vocab_size=fm.vocab_size,
+        dim_in=fm.dim_in,
+        dim_cond_emb=fm.dim_cond_emb,
+        hidden_size=fm.hidden_size,
+        depth=fm.depth,
+        heads=fm.heads,
+        intermediate_size=fm.intermediate_size,
+        ff_dropout=fm.ff_dropout,
+        use_unet_skip_connection=fm.use_unet_skip_connection,
+        conv_pos_embed_kernel_size=fm.conv_pos_embed_kernel_size,
+        conv_pos_embed_groups=fm.conv_pos_embed_groups,
+        attn_dropout=fm.attn_dropout,
+        mean=fm.mean,
+        std=fm.std,
+        predict_duration=fm.predict_duration,
+    )
+    trainer_config = CFMTrainerConfig(
+        batch_size=fm.batch_size,
+        frames_per_seg=fm.frames_per_seg,
+        epoch=fm.epoch,
+        warmup_steps=fm.warmup_steps,
+        lr=fm.lr,
+        lr_min=fm.lr_min,
+        max_norm=fm.max_norm,
+        summary_interval=fm.summary_interval,
+        save_interval_epoch=fm.save_interval_epoch,
+        seed=int(config.common.seed),
+    )
+
+    train_set = UnitDataset(
+        config.dataset.train_file,
+        spectrogram_dir=config.dataset.spectrogram_dir,
+        frames_per_seg=fm.frames_per_seg,
+        ext_audio=config.dataset.ext_audio,
+    )
+    steps_per_epoch = max(len(train_set) // (trainer_config.batch_size), 1)
+    total_steps = trainer_config.epoch * steps_per_epoch
+
+    table = kmeans_embedding(fm.dense_model_name, fm.quantizer_model_name, fm.vocab_size)
+    model, state, step_fn, _ = make_trainer(model_config, trainer_config, mesh, total_steps, table)
+
+    path = Path(fm.path)
+    writer = MetricsWriter(path / "logs")
+    timer = StepTimer()
+    rngs = RngStream(trainer_config.seed)
+
+    with CheckpointManager(path / "ckpt") as ckpt:
+        start_epoch = 1
+        if ckpt.has_checkpoint():
+            state = ckpt.restore(state)
+            start_epoch = int(state.step) // steps_per_epoch + 1
+
+        step = int(state.step)
+        for epoch in range(start_epoch, trainer_config.epoch + 1):
+            for batch in train_set.batches(
+                trainer_config.batch_size,
+                seed=trainer_config.seed,
+                epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ):
+                arrays = {k: batch[k] for k in ("input_ids", "spectrogram_labels", "duration_labels")}
+                state, metrics = step_fn(state, shard_batch(arrays, mesh), rngs.fold_in(step))
+                step += 1
+                timer.tick()
+                if step % trainer_config.summary_interval == 0:
+                    writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
+                    writer.scalar("train/steps_per_sec", 1.0 / max(timer.mean_step_time, 1e-9), step)
+
+            if epoch % trainer_config.save_interval_epoch == 0:
+                if jax.process_index() == 0:
+                    try:
+                        validate_flow_matching(config, model, state, step, writer)
+                    except FileNotFoundError:
+                        pass
+                ckpt.save(step, state)
+                _export_cfm(config, model_config, state)
+    writer.close()
+
+
+def _export_cfm(config, model_config, state) -> None:
+    """HF-format save_pretrained parity (flow_matching/train.py:210)."""
+    import dataclasses
+
+    from ..models.export import cfm_state_dict, save_pretrained
+
+    variables = {"params": jax.device_get(state.params), "buffers": jax.device_get(state.extra)}
+    save_pretrained(
+        Path(config.flow_matching.path) / "hf",
+        cfm_state_dict(variables),
+        dataclasses.asdict(model_config),
+    )
+
+
+def train_hifigan(config) -> None:
+    from ..train.hifigan import HifiGanTrainerConfig, make_gan_trainer
+
+    hg = config.hifigan
+    mesh = make_mesh()
+    model_config = HifiGanConfig(
+        upsample_rates=tuple(hg.upsample_rates),
+        upsample_kernel_sizes=tuple(hg.upsample_kernel_sizes),
+        normalize_before=False,
+    )
+
+    train_list = _mel_file_list(config.dataset.train_file)
+    train_set = MelDataset(
+        config.dataset.wav_dir,
+        config.dataset.spectrogram_dir,
+        train_list,
+        hg.segment_size,
+        hg.n_fft,
+        hg.hop_size,
+        True,
+        config.dataset.ext_audio,
+    )
+    batch_size = int(hg.batch_size)
+    steps_per_epoch = max(len(train_set) // batch_size, 1)
+
+    trainer_config = HifiGanTrainerConfig(
+        batch_size=batch_size,
+        segment_size=hg.segment_size,
+        training_epochs=hg.training_epochs,
+        learning_rate=hg.learning_rate,
+        adam_b1=hg.adam_b1,
+        adam_b2=hg.adam_b2,
+        lr_decay=hg.lr_decay,
+        seed=hg.seed,
+        n_fft=hg.n_fft,
+        hop_size=hg.hop_size,
+        steps_per_epoch=steps_per_epoch,
+        stdout_interval=hg.stdout_interval,
+        summary_interval=hg.summary_interval,
+        checkpoint_interval=hg.checkpoint_interval,
+        validation_interval=hg.validation_interval,
+    )
+    models, state, step_fn = make_gan_trainer(model_config, trainer_config, mesh)
+
+    path = Path(hg.path)
+    writer = MetricsWriter(path / "logs")
+    with CheckpointManager(path / "ckpt") as ckpt:
+        if ckpt.has_checkpoint():
+            state = ckpt.restore(state)
+        step = int(state.step)
+        start_epoch = step // steps_per_epoch
+
+        for epoch in range(start_epoch, trainer_config.training_epochs):
+            for batch in train_set.batches(
+                batch_size,
+                seed=trainer_config.seed,
+                epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ):
+                arrays = {k: batch[k] for k in ("mel", "wav", "mel_mask")}
+                state, metrics = step_fn(state, shard_batch(arrays, mesh))
+                step += 1
+                if step % trainer_config.summary_interval == 0:
+                    writer.scalars({k: v for k, v in metrics.items()}, step, prefix="training/")
+                if step % trainer_config.checkpoint_interval == 0:
+                    ckpt.save(step, state)
+                    _export_hifigan(config, model_config, state)
+                if step % trainer_config.validation_interval == 0 and jax.process_index() == 0:
+                    _validate_hifigan(config, models[0], state, trainer_config, step, writer)
+        ckpt.save(step, state, force=True)
+        _export_hifigan(config, model_config, state)
+    writer.close()
+
+
+def _export_hifigan(config, model_config, state) -> None:
+    """HF-format generator export (hifigan/train.py:199-201 parity): the
+    saved directory loads with HF FastSpeech2ConformerHifiGan."""
+    from ..models.export import hifigan_generator_state_dict, save_pretrained
+
+    sd = hifigan_generator_state_dict(jax.device_get(state.gen_params))
+    save_pretrained(
+        Path(config.hifigan.path),
+        sd,
+        {
+            "model_type": "hifigan",
+            "model_in_dim": model_config.model_in_dim,
+            "upsample_initial_channel": model_config.upsample_initial_channel,
+            "upsample_rates": list(model_config.upsample_rates),
+            "upsample_kernel_sizes": list(model_config.upsample_kernel_sizes),
+            "resblock_kernel_sizes": list(model_config.resblock_kernel_sizes),
+            "resblock_dilation_sizes": [list(d) for d in model_config.resblock_dilation_sizes],
+            "leaky_relu_slope": model_config.leaky_relu_slope,
+            "normalize_before": model_config.normalize_before,
+        },
+    )
+
+
+def _validate_hifigan(config, gen, state, trainer_config, step: int, writer: MetricsWriter, max_utts: int = 32) -> None:
+    """Dev mel-L1 + audio logging (hifigan/train.py:225-252)."""
+    from ..dsp.mel import log_mel_spectrogram
+
+    dev_list = _mel_file_list(config.dataset.dev_file)
+    dev_set = MelDataset(
+        config.dataset.wav_dir,
+        config.dataset.spectrogram_dir,
+        dev_list,
+        trainer_config.segment_size,
+        trainer_config.n_fft,
+        trainer_config.hop_size,
+        True,  # crop like training so shapes stay static
+        config.dataset.ext_audio,
+    )
+    if len(dev_set) == 0:
+        return
+    err_tot, count = 0.0, 0
+    for batch in dev_set.batches(min(8, max_utts), shuffle=False):
+        y_hat = gen.apply({"params": state.gen_params}, batch["mel"])
+        y_hat_mel = log_mel_spectrogram(
+            y_hat, n_fft=trainer_config.n_fft, num_mels=trainer_config.num_mels, hop_size=trainer_config.hop_size
+        )
+        diff = np.abs(np.asarray(y_hat_mel) - batch["mel"])
+        mask = batch["mel_mask"][..., None]
+        err_tot += float((diff * mask).sum() / max(mask.sum() * diff.shape[-1], 1))
+        count += 1
+        if count == 1:
+            for j in range(min(3, y_hat.shape[0])):
+                writer.audio(f"generated/y_hat_{j}", np.asarray(y_hat[j]), step)
+                writer.spectrogram_figure(f"generated/y_hat_spec_{j}", np.asarray(y_hat_mel[j]).T, step)
+        if count * 8 >= max_utts:
+            break
+    writer.scalar("validation/mel_spec_error", err_tot / max(count, 1), step)
+
+
+def train_speechlm(config) -> None:
+    from ..train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
+
+    mesh = make_mesh()
+    num_special = len(
+        {
+            t
+            for t in (
+                config.model.get("pad_token_id"),
+                config.model.get("bos_token_id"),
+                config.model.get("eos_token_id"),
+            )
+            if t is not None
+        }
+    )
+    model_config = LlamaConfig(
+        vocab_size=config.model.vocab_size + num_special,
+        hidden_size=config.model.hidden_size,
+        intermediate_size=config.model.intermediate_size,
+        num_hidden_layers=config.model.num_hidden_layers,
+        num_attention_heads=config.model.num_attention_heads,
+        pad_token_id=config.model.pad_token_id or 0,
+        bos_token_id=config.model.get("bos_token_id"),
+        eos_token_id=config.model.get("eos_token_id"),
+    )
+    trainer_config = SpeechLMTrainerConfig(
+        batch_size_per_device=config.dataloader.batch_size_per_device,
+        units_per_sample=config.dataset.units_per_sample,
+        epoch=config.optim.epoch,
+        warmup_steps=config.optim.warmup_steps,
+        lr=config.optim.lr,
+        lr_min=config.optim.lr_min,
+        beta1=config.optim.beta1,
+        beta2=config.optim.beta2,
+        max_norm=config.optim.max_norm,
+        summary_interval=config.optim.summary_interval,
+    )
+
+    train_set = UnitTextDataset(
+        config.dataset.train_file,
+        units_per_sample=trainer_config.units_per_sample,
+        num_special_tokens=num_special,
+        eos_token_id=config.model.eos_token_id,
+    )
+    global_batch = trainer_config.batch_size_per_device * jax.device_count()
+    steps_per_epoch = max(len(train_set) // global_batch, 1)
+    total_steps = trainer_config.epoch * steps_per_epoch
+
+    model, state, step_fn, _ = make_speechlm_trainer(model_config, trainer_config, mesh, total_steps)
+
+    path = Path(config.model.path)
+    writer = MetricsWriter(path / "logs")
+    with CheckpointManager(path / "ckpt") as ckpt:
+        start_epoch = 1
+        if ckpt.has_checkpoint():
+            state = ckpt.restore(state)
+            start_epoch = int(state.step) // steps_per_epoch + 1
+
+        step = int(state.step)
+        for epoch in range(start_epoch, trainer_config.epoch + 1):
+            for batch in train_set.batches(
+                global_batch,
+                seed=trainer_config.seed,
+                epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ):
+                state, metrics = step_fn(state, shard_batch(batch, mesh))
+                step += 1
+                if step % trainer_config.summary_interval == 0:
+                    writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
+
+            ckpt.save(step, state)
+            if jax.process_index() == 0:
+                _validate_speechlm(config, model, {"params": state.params}, step, writer, num_special)
+    writer.close()
+
+
+def _validate_speechlm(config, model, variables, step, writer, num_special) -> None:
+    """Per-epoch dev sLM21 scoring (speechlm/train.py:18-71)."""
+    from .speechlm import aggregate_slm21_scores, run_zrc, write_scores
+
+    result_dir = Path(config.dataset.result_dir)
+    try:
+        write_scores(
+            model, variables, config.dataset.swuggy_dev_file, result_dir / "lexical/dev.txt",
+            config.dataloader.batch_size_per_device, num_special,
+        )
+        write_scores(
+            model, variables, config.dataset.sblimp_dev_file, result_dir / "syntactic/dev.txt",
+            config.dataloader.batch_size_per_device, num_special,
+        )
+    except FileNotFoundError:
+        return
+    if run_zrc(result_dir, "dev"):
+        df = aggregate_slm21_scores(result_dir, "dev")
+        for name, value in df[0].items():
+            writer.scalar(f"dev/{name}", value, step)
+
+
+def eval_speechlm(config) -> None:
+    from ..train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
+    from .speechlm import evaluate
+
+    mesh = make_mesh()
+    num_special = len(
+        {
+            t
+            for t in (
+                config.model.get("pad_token_id"),
+                config.model.get("bos_token_id"),
+                config.model.get("eos_token_id"),
+            )
+            if t is not None
+        }
+    )
+    model_config = LlamaConfig(
+        vocab_size=config.model.vocab_size + num_special,
+        hidden_size=config.model.hidden_size,
+        intermediate_size=config.model.intermediate_size,
+        num_hidden_layers=config.model.num_hidden_layers,
+        num_attention_heads=config.model.num_attention_heads,
+    )
+    model, state, _, _ = make_speechlm_trainer(model_config, SpeechLMTrainerConfig(), mesh, total_steps=1)
+    with CheckpointManager(Path(config.model.path) / "ckpt") as ckpt:
+        state = ckpt.restore(state)
+    evaluate(config, model, {"params": state.params})

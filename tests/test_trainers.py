@@ -1,0 +1,123 @@
+"""GAN + speech-LM trainer tests on the virtual 8-device mesh, and the
+checkpoint manager."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_resynth_tpu.core.mesh import make_mesh, shard_batch
+from speech_resynth_tpu.core.precision import FLOAT32
+from speech_resynth_tpu.models.hifigan import HifiGanConfig
+from speech_resynth_tpu.models.llama import LlamaConfig
+from speech_resynth_tpu.train.hifigan import HifiGanTrainerConfig, epoch_exponential_schedule, make_gan_trainer
+from speech_resynth_tpu.train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer, param_shardings
+
+
+def test_gan_train_step():
+    mesh = make_mesh(data=8)
+    cfg = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=8,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    # invariant from the reference configs: generator output length is
+    # (L-1)*prod(rates) + extra, and mel(n_fft=extra, hop=prod) of that
+    # yields exactly L frames (400/320 in the real config; 24/20 here)
+    extra = int(cfg.waveform_lengths(jnp.asarray([1]))[0])
+    tcfg = HifiGanTrainerConfig(n_fft=extra, hop_size=cfg.total_upsample, num_mels=8, steps_per_epoch=10)
+    _, state, step_fn = make_gan_trainer(cfg, tcfg, mesh, policy=FLOAT32)
+
+    rng = np.random.default_rng(0)
+    B, T = 8, 16
+    S = (T - 1) * cfg.total_upsample + extra
+    batch = {
+        "mel": rng.standard_normal((B, T, 8)).astype(np.float32),
+        "wav": rng.standard_normal((B, S)).astype(np.float32) * 0.1,
+        "mel_mask": np.ones((B, T), bool),
+    }
+    batch = shard_batch(batch, mesh)
+
+    metrics_hist = []
+    for _ in range(2):
+        state, metrics = step_fn(state, batch)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    for m in metrics_hist:
+        assert all(np.isfinite(v) for v in m.values()), m
+    assert int(state.step) == 2
+
+
+def test_epoch_exponential_schedule():
+    sched = epoch_exponential_schedule(0.1, 0.5, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(9)) == pytest.approx(0.1)
+    assert float(sched(10)) == pytest.approx(0.05)
+    assert float(sched(25)) == pytest.approx(0.025)
+
+
+def test_speechlm_train_step_dp():
+    mesh = make_mesh(data=8)
+    cfg = LlamaConfig(vocab_size=40, hidden_size=16, intermediate_size=32, num_hidden_layers=2, num_attention_heads=2)
+    _, state, step_fn, _ = make_speechlm_trainer(cfg, SpeechLMTrainerConfig(), mesh, total_steps=100, policy=FLOAT32)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, 40, (16, 12)).astype(np.int32)
+    ids[:, -3:] = 0
+    batch = {
+        "input_ids": ids,
+        "attention_mask": (ids != 0).astype(np.int32),
+        "labels": np.where(ids == 0, -100, ids).astype(np.int32),
+    }
+    batch = shard_batch(batch, mesh)
+
+    losses = []
+    for i in range(3):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # the model should start fitting the repeated batch
+    assert losses[-1] < losses[0]
+
+
+def test_speechlm_tensor_parallel_shardings():
+    mesh = make_mesh(data=2, model=4)
+    cfg = LlamaConfig(vocab_size=40, hidden_size=16, intermediate_size=32, num_hidden_layers=1, num_attention_heads=2)
+    model, state, step_fn, p_shard = make_speechlm_trainer(
+        cfg, SpeechLMTrainerConfig(), mesh, total_steps=10, policy=FLOAT32
+    )
+    # column-parallel kernels sharded on output dim over 'model'
+    spec = p_shard["layers_0"]["q_proj"]["kernel"].spec
+    assert spec == jax.sharding.PartitionSpec(None, "model")
+    spec = p_shard["layers_0"]["down_proj"]["kernel"].spec
+    assert spec == jax.sharding.PartitionSpec("model", None)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(2, 40, (4, 8)).astype(np.int32)
+    batch = {
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+        "labels": ids.astype(np.int32),
+    }
+    batch = shard_batch(batch, mesh)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    from speech_resynth_tpu.core.checkpoint import CheckpointManager
+
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
+    with CheckpointManager(tmp_path / "ckpt", async_save=False) as mgr:
+        assert not mgr.has_checkpoint()
+        mgr.save(7, state)
+        mgr.wait()
+        assert mgr.latest_step() == 7
+
+    with CheckpointManager(tmp_path / "ckpt", async_save=False) as mgr2:
+        template = {"params": {"w": jnp.zeros(4)}, "step": jnp.asarray(0)}
+        restored = mgr2.restore(template)
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(4.0))
+        assert int(restored["step"]) == 7
