@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Speech-LM throughput: sWUGGY/sBLIMP-style scoring + KV-cached decode.
+
+BASELINE.json config 4: "Llama speech LM: BPE unicode-unit scoring"
+(hubert.yaml sizes: 768/3072/12L/12H, vocab 16386, batch 96 x 128 tokens)
+plus the tokens/sec/chip number for autoregressive generation.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from speech_resynth_tpu.core.precision import BF16_INFERENCE
+    from speech_resynth_tpu.models.llama import LlamaConfig, LlamaLM, greedy_decode, sequence_pseudo_log_prob
+
+    cfg = LlamaConfig()
+    model = LlamaLM(cfg, policy=BF16_INFERENCE)
+    variables = model.init(jax.random.key(0), jnp.ones((1, 8), jnp.int32))
+
+    B, L = 96, 128
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, cfg.vocab_size, (B, L)), jnp.int32)
+
+    @jax.jit
+    def score(ids):
+        logits, _ = model.apply({"params": variables["params"]}, ids)
+        return sequence_pseudo_log_prob(logits, ids)
+
+    s = score(ids)
+    jax.block_until_ready(s)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = score(ids)
+    jax.block_until_ready(s)
+    scoring_tps = iters * B * L / (time.perf_counter() - t0)
+
+    # decode: 32-token prompt, 96 new tokens, batch 16
+    prompt = ids[:16, :32]
+    seq = greedy_decode(model, variables, prompt, max_new_tokens=96)
+    jax.block_until_ready(seq)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        seq = greedy_decode(model, variables, prompt, max_new_tokens=96)
+    jax.block_until_ready(seq)
+    decode_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "speech_lm_scoring_tokens_per_sec_per_chip",
+                "value": round(scoring_tps, 0),
+                "unit": "tokens/s",
+                "decode_tokens_per_sec": round(decode_tps, 0),
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,22 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(partial(jax.device_put, device=replicated(mesh)), tree)
 
 
+def dp_mesh_for_batch(batch_size: int) -> tuple[Mesh, int]:
+    """Data-parallel mesh + adjusted global batch for an arbitrary batch size.
+
+    The reference's batch sizes (2700, 44, 64 …) are not device-count
+    multiples; XLA sharding requires divisibility.  Policy: round the batch
+    down to a device multiple when batch >= devices (drops <1 device's worth
+    of examples); otherwise shrink the data axis to gcd(batch, devices).
+    """
+    import math
+
+    n = len(jax.devices())
+    if batch_size >= n:
+        return make_mesh(), (batch_size // n) * n
+    return make_mesh(data=math.gcd(batch_size, n)), batch_size
+
+
 def local_batch_slice(global_batch_size: int) -> slice:
     """This host's shard of a globally-indexed batch.
 

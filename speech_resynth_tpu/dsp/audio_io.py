@@ -1,14 +1,12 @@
-"""Audio I/O: C++ WAV reader/writer with threaded batch loading.
+"""Audio I/O: native WAV + FLAC readers with threaded batch loading.
 
 Replaces the reference's torchaudio.load/save call sites
 (/root/reference/src/flow_matching/preprocess.py:29-40, data.py:39-40,
-hifigan/data.py:93) with a native libwavio (csrc/wavio.cpp) exposed over
-ctypes.  ``read_batch`` fills one padded (N, T) array with a C++ thread
-pool — the host-side feed for the batched device-resident preprocessing
-path (BASELINE.json).
-
-FLAC decoding is not implemented in round 1: LibriSpeech/Libri-Light .flac
-inputs need transcoding to wav first; ``read`` raises a clear error.
+hifigan/data.py:93) with a native libwavio (csrc/wavio.cpp + csrc/flac.cpp)
+exposed over ctypes.  ``read_batch`` fills one padded (N, T) array with a
+C++ thread pool — the host-side feed for the batched device-resident
+preprocessing path (BASELINE.json) — dispatching per extension (.flac uses
+the native FLAC decoder, which covers LibriSpeech/Libri-Light).
 """
 
 from __future__ import annotations
@@ -28,10 +26,10 @@ _lib = None
 def _load():
     global _lib
     if _lib is None:
-        src = _CSRC / "wavio.cpp"
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        srcs = [_CSRC / "wavio.cpp", _CSRC / "flac.cpp"]
+        if not _LIB_PATH.exists() or any(_LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs):
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", str(src), "-o", str(_LIB_PATH)],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", *map(str, srcs), "-o", str(_LIB_PATH)],
                 check=True,
                 capture_output=True,
             )
@@ -59,6 +57,10 @@ def _load():
             ctypes.c_uint32,
             ctypes.c_uint32,
         ]
+        lib.flac_info.restype = ctypes.c_int
+        lib.flac_info.argtypes = lib.wav_info.argtypes
+        lib.flac_read.restype = ctypes.c_int64
+        lib.flac_read.argtypes = lib.wav_read.argtypes
         lib.wav_read_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_uint64,
@@ -75,31 +77,33 @@ def _load():
 def info(path: str | Path) -> Tuple[int, int, int]:
     """(sample_rate, channels, frames)."""
     lib = _load()
+    is_flac = Path(path).suffix.lower() == ".flac"
+    fn = lib.flac_info if is_flac else lib.wav_info
     sr = ctypes.c_uint32()
     ch = ctypes.c_uint32()
     frames = ctypes.c_uint64()
-    if lib.wav_info(str(path).encode(), ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(frames)) != 0:
-        raise IOError(f"cannot read wav: {path}")
+    if fn(str(path).encode(), ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(frames)) != 0:
+        raise IOError(f"cannot read audio: {path}")
     return sr.value, ch.value, frames.value
 
 
 def read(path: str | Path) -> Tuple[np.ndarray, int]:
     """-> (float32 (frames,) mono or (frames, channels), sample_rate)."""
     path = Path(path)
-    if path.suffix.lower() == ".flac":
-        raise NotImplementedError(
-            "FLAC decode is not built yet; transcode to wav (see dsp/audio_io.py docstring)"
-        )
     lib = _load()
+    is_flac = path.suffix.lower() == ".flac"
+    fn = lib.flac_read if is_flac else lib.wav_read
     sr_, ch_, frames_ = info(path)
-    buf = np.empty(frames_ * ch_, np.float32)
+    if frames_ == 0 and is_flac:  # STREAMINFO may omit total_samples
+        frames_ = sr_ * 3600  # one-hour cap
+    buf = np.empty(max(frames_, 1) * ch_, np.float32)
     sr = ctypes.c_uint32()
     ch = ctypes.c_uint32()
-    n = lib.wav_read(
-        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames_, ctypes.byref(sr), ctypes.byref(ch)
+    n = fn(
+        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max(frames_, 1), ctypes.byref(sr), ctypes.byref(ch)
     )
     if n < 0:
-        raise IOError(f"cannot read wav: {path}")
+        raise IOError(f"cannot read audio: {path}")
     data = buf[: n * ch.value]
     if ch.value > 1:
         data = data.reshape(-1, ch.value)

@@ -118,7 +118,16 @@ WavData read_wav(const char* path) {
   return out;
 }
 
+bool ends_with(const char* s, const char* suffix) {
+  size_t ls = std::strlen(s), lx = std::strlen(suffix);
+  return ls >= lx && std::strcmp(s + ls - lx, suffix) == 0;
+}
+
 }  // namespace
+
+// from flac.cpp (same shared object)
+extern "C" int flac_info(const char* path, uint32_t* sr, uint32_t* channels, uint64_t* frames);
+extern "C" int64_t flac_read(const char* path, float* out, uint64_t max_frames, uint32_t* sr, uint32_t* channels);
 
 extern "C" {
 
@@ -194,8 +203,24 @@ void wav_read_batch(const char** paths, uint64_t n_files, float* out,
 
   auto work = [&](int tid) {
     for (uint64_t i = tid; i < n_files; i += n_threads) {
-      WavData w = read_wav(paths[i]);
       float* dst = out + i * max_frames;
+      WavData w;
+      if (ends_with(paths[i], ".flac")) {
+        uint32_t fsr = 0, fch = 0;
+        uint64_t fframes = 0;
+        if (flac_info(paths[i], &fsr, &fch, &fframes) == 0 && fch > 0) {
+          std::vector<float> tmp(max_frames * fch);
+          int64_t got = flac_read(paths[i], tmp.data(), max_frames, &fsr, &fch);
+          if (got >= 0) {
+            w.ok = true;
+            w.sample_rate = fsr;
+            w.channels = fch;
+            w.samples.assign(tmp.begin(), tmp.begin() + got * fch);
+          }
+        }
+      } else {
+        w = read_wav(paths[i]);
+      }
       if (!w.ok) {
         lengths[i] = -1;
         srs[i] = 0;

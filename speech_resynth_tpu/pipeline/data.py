@@ -34,6 +34,16 @@ def shard_for_process(items: Sequence, process_index: int, process_count: int) -
     return list(items[process_index::process_count])
 
 
+def bucket_length(n: int, multiple: int = 64, minimum: int = 64) -> int:
+    """Round a padded dimension up to a bucket boundary.
+
+    XLA compiles one program per shape; bucketing bounds the number of
+    distinct shapes a variable-length batch stream produces (SURVEY.md §7
+    hard part 2) at the cost of a little extra padding.
+    """
+    return max(minimum, -(-n // multiple) * multiple)
+
+
 # ---------------------------------------------------------------------------
 # speech (waveform) datasets
 # ---------------------------------------------------------------------------
@@ -195,6 +205,10 @@ class UnitDataset:
             examples = [self._example(i, rng) for i in idxs]
             L = max(len(e["input_ids"]) for e in examples)
             N = max(e["spectrogram_labels"].shape[0] for e in examples)
+            if self.frames_per_seg is None:
+                # variable-length mode: bucket pad dims to bound recompiles
+                L = bucket_length(L)
+                N = bucket_length(N)
             B = len(examples)
             ids = np.zeros((B, L), np.int32)
             durs = np.zeros((B, L), np.int32)
@@ -377,7 +391,7 @@ def load_named_units_from_json(file: str, batch_size: int, num_special_tokens: i
         chunk = items[i : i + batch_size]
         names = [k for k, _ in chunk]
         seqs = [np.asarray(v, np.int64) + num_special_tokens for _, v in chunk]
-        L = max(len(s) for s in seqs)
+        L = bucket_length(max(len(s) for s in seqs), multiple=32, minimum=32)
         ids = np.zeros((len(seqs), L), np.int32)
         for j, s in enumerate(seqs):
             ids[j, : len(s)] = s

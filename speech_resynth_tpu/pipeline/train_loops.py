@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager
-from ..core.mesh import make_mesh, shard_batch
+from ..core.mesh import dp_mesh_for_batch, make_mesh, shard_batch
 from ..core.metrics import MetricsWriter, StepTimer
 from ..core.rng import RngStream
 from ..models.cfm import CFMConfig
@@ -109,7 +109,7 @@ def train_flow_matching(config) -> None:
     from ..train.cfm import CFMTrainerConfig, make_trainer
 
     fm = config.flow_matching
-    mesh = make_mesh()
+    mesh, batch_size = dp_mesh_for_batch(int(fm.batch_size))
     model_config = CFMConfig(
         vocab_size=fm.vocab_size,
         dim_in=fm.dim_in,
@@ -128,7 +128,7 @@ def train_flow_matching(config) -> None:
         predict_duration=fm.predict_duration,
     )
     trainer_config = CFMTrainerConfig(
-        batch_size=fm.batch_size,
+        batch_size=batch_size,
         frames_per_seg=fm.frames_per_seg,
         epoch=fm.epoch,
         warmup_steps=fm.warmup_steps,
@@ -209,7 +209,7 @@ def train_hifigan(config) -> None:
     from ..train.hifigan import HifiGanTrainerConfig, make_gan_trainer
 
     hg = config.hifigan
-    mesh = make_mesh()
+    mesh, gan_batch = dp_mesh_for_batch(int(hg.batch_size))
     model_config = HifiGanConfig(
         upsample_rates=tuple(hg.upsample_rates),
         upsample_kernel_sizes=tuple(hg.upsample_kernel_sizes),
@@ -227,7 +227,7 @@ def train_hifigan(config) -> None:
         True,
         config.dataset.ext_audio,
     )
-    batch_size = int(hg.batch_size)
+    batch_size = gan_batch
     steps_per_epoch = max(len(train_set) // batch_size, 1)
 
     trainer_config = HifiGanTrainerConfig(

@@ -79,6 +79,11 @@ def make_train_step(
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if freeze_embedding:
+            # AdamW's decoupled weight decay would still shrink a zero-grad
+            # param; hard-restore to match torch's requires_grad=False
+            # semantics (utils/textless.py:34 freeze=True)
+            params = {**params, "to_cond_emb": state.params["to_cond_emb"]}
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
         metrics = {"loss": loss, "mse": aux["mse"], "duration_loss": aux["duration_loss"], "grad_norm": grad_norm}
         return new_state, metrics
