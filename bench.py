@@ -27,17 +27,20 @@ def main():
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 2001, (batch, units_per_seq)), jnp.int32)
 
     def run(rng):
-        return decoder.synthesize(ids, dt=0.0625, truncation_value=1.0, rng=rng)
+        # pcm16: device-side int16 conversion (the serving wire format)
+        return decoder.synthesize(ids, dt=0.0625, truncation_value=1.0, rng=rng, pcm16=True)
 
-    # warmup/compile
+    # warmup/compile; NOTE: on the tunneled 'axon' platform
+    # block_until_ready does not actually synchronize -- force a host
+    # transfer (device_get) every iteration to time real execution
     wav, lengths = run(jax.random.key(0))
-    jax.block_until_ready(wav)
+    np.asarray(lengths)
 
     iters = 20
     start = time.perf_counter()
     for i in range(iters):
         wav, lengths = run(jax.random.key(i + 1))
-    jax.block_until_ready(wav)
+        np.asarray(wav)
     elapsed = time.perf_counter() - start
 
     audio_seconds = iters * float(jnp.sum(lengths)) / 16000.0

@@ -36,14 +36,12 @@ def main():
         feats = encoder.apply(variables, wav, output_layer=11)
         return assign(feats, centers)
 
-    units = encode(wav)
-    jax.block_until_ready(units)
+    np.asarray(encode(wav))  # warmup; device_get forces real sync on axon
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        units = encode(wav)
-    jax.block_until_ready(units)
+        units = np.asarray(encode(wav))
     elapsed = time.perf_counter() - t0
 
     audio_sec = iters * batch * seconds

@@ -30,27 +30,26 @@ def main():
     ids = jnp.asarray(np.random.default_rng(0).integers(2, cfg.vocab_size, (B, L)), jnp.int32)
 
     @jax.jit
-    def score(ids):
-        logits, _ = model.apply({"params": variables["params"]}, ids)
+    def score(params, ids):
+        # params passed as an argument — a closure would inline 98M weights
+        # as HLO constants and blow the remote-compile request limit
+        logits, _ = model.apply({"params": params}, ids)
         return sequence_pseudo_log_prob(logits, ids)
 
-    s = score(ids)
-    jax.block_until_ready(s)
+    score = lambda ids, _f=score, _p=variables["params"]: _f(_p, ids)
+    np.asarray(score(ids))  # warmup; device_get forces real sync on axon
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        s = score(ids)
-    jax.block_until_ready(s)
+        s = np.asarray(score(ids))
     scoring_tps = iters * B * L / (time.perf_counter() - t0)
 
     # decode: 32-token prompt, 96 new tokens, batch 16
     prompt = ids[:16, :32]
-    seq = greedy_decode(model, variables, prompt, max_new_tokens=96)
-    jax.block_until_ready(seq)
+    np.asarray(greedy_decode(model, variables, prompt, max_new_tokens=96))
     t0 = time.perf_counter()
     for _ in range(3):
-        seq = greedy_decode(model, variables, prompt, max_new_tokens=96)
-    jax.block_until_ready(seq)
+        seq = np.asarray(greedy_decode(model, variables, prompt, max_new_tokens=96))
     decode_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
 
     print(

@@ -53,7 +53,7 @@ class ConditionalFlowMatchingWithHifiGan:
     vocoder_variables: dict
 
     def __post_init__(self):
-        self._synth = jax.jit(self._synthesize, static_argnames=("dt", "truncation_value", "max_frames"))
+        self._synth = jax.jit(self._synthesize, static_argnames=("dt", "truncation_value", "max_frames", "pcm16"))
 
     # -- construction ----------------------------------------------------------
 
@@ -149,6 +149,7 @@ class ConditionalFlowMatchingWithHifiGan:
         dt: float,
         truncation_value: Optional[float],
         max_frames: Optional[int],
+        pcm16: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         spectrogram, frame_mask = self.model.apply(
             self.model_variables,
@@ -162,6 +163,10 @@ class ConditionalFlowMatchingWithHifiGan:
         spectrogram_lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
         waveform_lengths = self.vocoder.config.waveform_lengths(spectrogram_lengths)
         waveform = self.vocoder.apply(self.vocoder_variables, spectrogram)
+        if pcm16:
+            # device-side PCM16 conversion: half the host transfer, and it is
+            # the wire/file format anyway (dsp/audio_io.py writes PCM16)
+            waveform = jnp.round(jnp.clip(waveform, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return waveform, waveform_lengths
 
     def synthesize(
@@ -171,11 +176,16 @@ class ConditionalFlowMatchingWithHifiGan:
         truncation_value: Optional[float] = None,
         rng: Optional[jax.Array] = None,
         max_frames: Optional[int] = None,
+        pcm16: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Batched jitted path: (padded waveforms (B, Tmax), lengths (B,))."""
+        """Batched jitted path: (padded waveforms (B, Tmax), lengths (B,)).
+
+        ``pcm16=True`` returns int16 samples (device-side conversion)."""
         if rng is None:
             rng = jax.random.key(0)
-        return self._synth(jnp.asarray(input_ids), rng, dt=dt, truncation_value=truncation_value, max_frames=max_frames)
+        return self._synth(
+            jnp.asarray(input_ids), rng, dt=dt, truncation_value=truncation_value, max_frames=max_frames, pcm16=pcm16
+        )
 
     def __call__(
         self,

@@ -224,15 +224,16 @@ def sequence_pseudo_log_prob(logits: jax.Array, input_ids: jax.Array, pad_id: in
     return jnp.sum(tok_scores, axis=1) / jnp.maximum(nonzero, 1.0)
 
 
-def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_tokens: int, eos_token_id: int = 1):
-    """KV-cached greedy generation; returns (B, prompt+max_new) ids."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _greedy_decode_impl(model: "LlamaLM", variables, prompt_ids, max_new_tokens: int, eos_token_id: int):
     b, p = prompt_ids.shape
     total = p + max_new_tokens
     cache = model.init_cache(b, total)
 
-    logits, cache = model.apply(
-        variables, prompt_ids, cache=cache, cache_index=jnp.asarray(0), method="__call__"
-    )
+    logits, cache = model.apply(variables, prompt_ids, cache=cache, cache_index=jnp.asarray(0))
     next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(prompt_ids.dtype)
     done = next_tok == eos_token_id
 
@@ -245,5 +246,13 @@ def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_toke
         return (cache, nxt, done), tok
 
     (_, last, _), toks = jax.lax.scan(step, (cache, next_tok, done), jnp.arange(max_new_tokens - 1))
-    seq = jnp.concatenate([prompt_ids, jnp.swapaxes(toks, 0, 1), last[:, None]], axis=1)
-    return seq
+    return jnp.concatenate([prompt_ids, jnp.swapaxes(toks, 0, 1), last[:, None]], axis=1)
+
+
+def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_tokens: int, eos_token_id: int = 1):
+    """KV-cached greedy generation; returns (B, prompt+max_new) ids.
+
+    One jitted program (prefill + scan over decode steps); params are traced
+    arguments, never HLO constants.
+    """
+    return _greedy_decode_impl(model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id)

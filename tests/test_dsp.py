@@ -145,6 +145,8 @@ def test_wav_batch_read(tmp_path):
     np.testing.assert_allclose(wavs[2, 1500:], 0.0)
 
 
-def test_flac_gated():
-    with pytest.raises(NotImplementedError):
-        audio_io.read("x.flac")
+def test_missing_audio_raises():
+    with pytest.raises(IOError):
+        audio_io.read("definitely_missing.flac")
+    with pytest.raises(IOError):
+        audio_io.read("definitely_missing.wav")
