@@ -1,0 +1,117 @@
+"""Serving runtime: batched, pipelined unit-to-waveform synthesis.
+
+Production-serving layer the reference never had (its inference is a batch
+eval script, flow_matching/eval.py).  Design:
+
+* requests (unit sequences) accumulate into fixed shape buckets — one XLA
+  program per (batch, length) bucket, compiled once;
+* device dispatch is asynchronous: while the chip synthesizes batch N, the
+  host pads/collates batch N+1 and drains batch N-1's PCM16 output — compute,
+  H2D and D2H fully overlap;
+* outputs are trimmed per request (analytic ConvTranspose lengths) and
+  returned in submission order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..models.composite import ConditionalFlowMatchingWithHifiGan
+from .data import bucket_length
+
+
+@dataclasses.dataclass
+class SynthesisRequest:
+    units: np.ndarray  # (n,) int units, already +1-shifted (0 = pad)
+    request_id: int = 0
+
+
+class SynthesisServer:
+    """Micro-batching synthesis loop over the composite decoder."""
+
+    def __init__(
+        self,
+        decoder: ConditionalFlowMatchingWithHifiGan,
+        batch_size: int = 8,
+        dt: float = 0.0625,
+        truncation_value: Optional[float] = 1.0,
+        length_multiple: int = 128,
+        pcm16: bool = True,
+        seed: int = 0,
+        max_inflight: int = 4,
+    ):
+        self.decoder = decoder
+        self.batch_size = batch_size
+        self.dt = dt
+        self.truncation_value = truncation_value
+        self.length_multiple = length_multiple
+        self.pcm16 = pcm16
+        self._rng = jax.random.key(seed)
+        self.max_inflight = max_inflight
+
+    def _collate(self, batch: Sequence[SynthesisRequest]) -> Tuple[np.ndarray, List[int]]:
+        L = bucket_length(max(len(r.units) for r in batch), self.length_multiple, self.length_multiple)
+        ids = np.zeros((self.batch_size, L), np.int32)
+        for j, r in enumerate(batch):
+            ids[j, : len(r.units)] = r.units
+        return ids, [len(r.units) for r in batch]
+
+    def synthesize_stream(self, requests: Iterable[SynthesisRequest]) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yield (request_id, waveform) in submission order.
+
+        Keeps up to ``max_inflight`` device batches in flight; the generator
+        drains results as they land on the host.
+        """
+        inflight: "queue.Queue[tuple]" = queue.Queue()
+
+        def drain_one():
+            ids_batch, reqs, out = inflight.get()
+            wavs, lengths = out
+            wavs = np.asarray(wavs)  # host materialization = sync point
+            lengths = np.asarray(lengths)
+            results = []
+            for j, r in enumerate(reqs):
+                results.append((r.request_id, wavs[j, : int(lengths[j])]))
+            return results
+
+        pending: List[SynthesisRequest] = []
+        for req in requests:
+            pending.append(req)
+            if len(pending) == self.batch_size:
+                self._rng, sub = jax.random.split(self._rng)
+                ids, _ = self._collate(pending)
+                out = self.decoder.synthesize(
+                    ids, dt=self.dt, truncation_value=self.truncation_value, rng=sub, pcm16=self.pcm16
+                )
+                inflight.put((ids, list(pending), out))
+                pending = []
+                if inflight.qsize() >= self.max_inflight:
+                    yield from drain_one()
+
+        if pending:  # final partial batch, padded to full shape
+            tail = list(pending)
+            while len(pending) < self.batch_size:
+                pending.append(SynthesisRequest(units=np.ones(1, np.int32), request_id=-1))
+            self._rng, sub = jax.random.split(self._rng)
+            ids, _ = self._collate(pending)
+            out = self.decoder.synthesize(
+                ids, dt=self.dt, truncation_value=self.truncation_value, rng=sub, pcm16=self.pcm16
+            )
+            inflight.put((ids, tail, out))
+
+        while not inflight.empty():
+            yield from drain_one()
+
+    def synthesize_many(self, unit_seqs: Sequence[np.ndarray]) -> List[np.ndarray]:
+        """Convenience: list of unit sequences -> list of waveforms (ordered)."""
+        reqs = [SynthesisRequest(np.asarray(u, np.int32), i) for i, u in enumerate(unit_seqs)]
+        out: dict = {}
+        for rid, wav in self.synthesize_stream(reqs):
+            out[rid] = wav
+        return [out[i] for i in range(len(unit_seqs))]
