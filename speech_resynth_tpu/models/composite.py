@@ -51,6 +51,7 @@ class ConditionalFlowMatchingWithHifiGan:
     model_variables: dict
     vocoder: HifiGanGenerator
     vocoder_variables: dict
+    fused_vocoder: bool = True  # Pallas MRF kernels on narrow stages (TPU)
 
     def __post_init__(self):
         self._synth = jax.jit(self._synthesize, static_argnames=("dt", "truncation_value", "max_frames", "pcm16"))
@@ -162,7 +163,17 @@ class ConditionalFlowMatchingWithHifiGan:
         )
         spectrogram_lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
         waveform_lengths = self.vocoder.config.waveform_lengths(spectrogram_lengths)
-        waveform = self.vocoder.apply(self.vocoder_variables, spectrogram)
+        if self.fused_vocoder and jax.default_backend() in ("tpu", "axon"):
+            from .hifigan import generator_apply_fused
+
+            waveform = generator_apply_fused(
+                self.vocoder_variables["params"],
+                self.vocoder.config,
+                spectrogram,
+                compute_dtype=self.vocoder.policy.compute_dtype,
+            )
+        else:
+            waveform = self.vocoder.apply(self.vocoder_variables, spectrogram)
         if pcm16:
             # device-side PCM16 conversion: half the host transfer, and it is
             # the wire/file format anyway (dsp/audio_io.py writes PCM16)

@@ -219,6 +219,59 @@ class HifiGanGenerator(nn.Module):
         return self.policy.cast_to_output(wav)
 
 
+def generator_apply_fused(
+    params,
+    config: HifiGanConfig,
+    spectrogram: jax.Array,
+    compute_dtype=jnp.bfloat16,
+    fused_max_channels: int = 64,
+    force_fused: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inference-path generator forward with Pallas-fused MRF stages.
+
+    Pure function over the standard ``HifiGanGenerator`` param tree (same
+    checkpoints).  Stages with <= ``fused_max_channels`` channels — where
+    XLA's NWC convs waste MXU lanes — run the fused (C, T)-layout branch
+    kernel (ops/fused_mrf.py); wide stages use the stacked lax reference.
+    Numerics match ``HifiGanGenerator.apply`` (tests/test_fused_mrf.py).
+    """
+    from ..ops.fused_mrf import mrf_branch_pallas, mrf_branch_reference
+
+    cfg = config
+    cd = compute_dtype
+    x = conv1d(
+        spectrogram.astype(cd), params["conv_pre"]["kernel"].astype(cd), params["conv_pre"]["bias"].astype(cd), padding=3
+    )
+
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    use_pallas_backend = force_fused or jax.default_backend() in ("tpu", "axon")
+    for i, (rate, kernel) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        channels = cfg.upsample_initial_channel // (2 ** (i + 1))
+        x = nn.leaky_relu(x, cfg.leaky_relu_slope)
+        up = params[f"upsampler_{i}"]
+        x = conv_transpose1d(x, up["kernel"].astype(cd), up["bias"].astype(cd), rate, (kernel - rate) // 2)
+
+        res = None
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+            bp = params[f"resblocks_{i * num_kernels + j}"]
+            n_pairs = len(rd)
+            w1 = jnp.stack([bp[f"convs1_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
+            b1 = jnp.stack([bp[f"convs1_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
+            w2 = jnp.stack([bp[f"convs2_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
+            b2 = jnp.stack([bp[f"convs2_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
+            if use_pallas_backend and channels <= fused_max_channels:
+                out = mrf_branch_pallas(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope, interpret=interpret)
+            else:
+                out = mrf_branch_reference(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope)
+            res = out if res is None else res + out
+        x = res / num_kernels
+
+    x = nn.leaky_relu(x, cfg.leaky_relu_slope)
+    x = conv1d(x, params["conv_post"]["kernel"].astype(cd), params["conv_post"]["bias"].astype(cd), padding=3)
+    return jnp.tanh(x)[..., 0].astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # discriminators
 # ---------------------------------------------------------------------------

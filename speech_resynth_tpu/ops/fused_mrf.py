@@ -1,0 +1,190 @@
+"""Fused multi-receptive-field residual branch (HiFi-GAN) Pallas kernel.
+
+The north-star vocoder kernel (BASELINE.json): one ResidualBlock branch —
+three (dilated conv -> leaky-relu -> conv -> +residual) pairs of kernel size
+k with dilations (1, 3, 5) — computed entirely in VMEM per time block.
+
+Why XLA leaves performance here: HiFi-GAN's late stages have tiny channel
+counts (64/32/16) at huge time lengths (40k-160k); in NWC layout the MXU's
+128 lanes carry C_out and sit mostly idle, and each of the 6 convs round-trips
+the full activation through HBM.  This kernel:
+
+  * runs in (C, T) layout — lanes carry TIME (always 128-aligned), sublanes
+    carry channels; each conv tap is a (C_out, C_in) x (C_in, T_blk) matmul;
+  * keeps the whole 6-conv chain in VMEM scratch — one HBM read of the input
+    block (+halo) and one write of the output block;
+  * fuses every leaky-relu and residual add.
+
+A lax reference implementation (`mrf_branch_reference`, NWC) defines the
+semantics (matches models/hifigan.py:ResidualBlock, i.e. the reference's
+HifiGanResidualBlock torch graph).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def branch_halo(kernel_size: int, dilations: Sequence[int]) -> int:
+    """Per-side receptive-field growth of the 6-conv chain."""
+    h = 0
+    for d in dilations:
+        h += (kernel_size * d - d) // 2  # dilated conv pad
+        h += (kernel_size - 1) // 2  # unit conv pad
+    return h
+
+
+def mrf_branch_reference(x, w1, b1, w2, b2, dilations: Tuple[int, ...], slope: float = LRELU_SLOPE):
+    """(B, T, C) lax reference.  w1/w2: (n_pairs, K, C, C); b1/b2: (n_pairs, C)."""
+    for j, d in enumerate(dilations):
+        residual = x
+        h = jnp.where(x > 0, x, x * slope)
+        h = jax.lax.conv_general_dilated(
+            h, w1[j], (1,), "SAME", rhs_dilation=(d,), dimension_numbers=("NWC", "WIO", "NWC")
+        ) + b1[j]
+        h = jnp.where(h > 0, h, h * slope)
+        h = jax.lax.conv_general_dilated(
+            h, w2[j], (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC")
+        ) + b2[j]
+        x = h + residual
+    return x
+
+
+def _mrf_kernel(
+    x_ref,  # (1, C, T_blk + 2*halo) input incl. halo
+    w1_ref,  # (n_pairs, K, C, C) — [tap] maps (C_in -> C_out) as (C_out, C_in)
+    b1_ref,  # (n_pairs, C, 1)
+    w2_ref,
+    b2_ref,
+    o_ref,  # (1, C, T_blk)
+    x_buf,  # VMEM scratch (C, T_blk + 2*halo)
+    h_buf,  # VMEM scratch (C, T_blk + 2*halo)
+    *,
+    kernel_size: int,
+    dilations: Tuple[int, ...],
+    halo: int,
+    t_blk: int,
+    slope: float,
+    seq_len: int,
+):
+    C = x_ref.shape[1]
+    width = t_blk + 2 * halo
+    x_buf[...] = x_ref[0].astype(jnp.float32)
+
+    # global position of buffer column 0 (sequence starts at -halo for block 0)
+    base = pl.program_id(1) * t_blk - halo
+
+    def valid_cols(start_col: int, w: int):
+        """True where a buffer column maps inside the real [0, seq_len)."""
+        g = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        return (g >= 0) & (g < seq_len)
+
+    offset = 0  # consumed halo so far
+    for j, d in enumerate(dilations):
+        pad1 = (kernel_size * d - d) // 2
+        pad2 = (kernel_size - 1) // 2
+        in_w = width - 2 * offset
+        mid_w = in_w - 2 * pad1
+        out_w = mid_w - 2 * pad2
+
+        # conv1 (dilated): h_mid[:, t] = sum_tap W1[tap] @ lrelu(x)[:, t + tap*d]
+        # SAME-conv semantics: positions outside the true sequence are zero
+        # at EVERY conv input (they evolve nonzero through bias/residual here)
+        xin = x_buf[:, pl.ds(offset, in_w)]
+        act = jnp.where(xin > 0, xin, xin * slope)
+        act = jnp.where(valid_cols(offset, in_w), act, 0.0)
+        acc = jnp.zeros((C, mid_w), jnp.float32)
+        for tap in range(kernel_size):
+            seg = act[:, tap * d : tap * d + mid_w]  # static slice (Mosaic-lowerable)
+            w = w1_ref[j, tap].astype(jnp.float32)  # (C_out, C_in)
+            acc += jax.lax.dot_general(w, seg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc += b1_ref[j].astype(jnp.float32)
+        h_buf[:, pl.ds(0, mid_w)] = acc
+
+        # conv2 (undilated) on lrelu(h)
+        hmid = h_buf[:, pl.ds(0, mid_w)]
+        act2 = jnp.where(hmid > 0, hmid, hmid * slope)
+        act2 = jnp.where(valid_cols(offset + pad1, mid_w), act2, 0.0)
+        acc2 = jnp.zeros((C, out_w), jnp.float32)
+        for tap in range(kernel_size):
+            seg = act2[:, tap : tap + out_w]
+            w = w2_ref[j, tap].astype(jnp.float32)
+            acc2 += jax.lax.dot_general(w, seg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc2 += b2_ref[j].astype(jnp.float32)
+
+        # residual add against the matching center slice of x
+        new_offset = offset + pad1 + pad2
+        res = x_buf[:, pl.ds(new_offset, out_w)]
+        x_buf[:, pl.ds(new_offset, out_w)] = res + acc2
+        offset = new_offset
+
+    o_ref[0] = x_buf[:, pl.ds(halo, t_blk)].astype(o_ref.dtype)
+
+
+def mrf_branch_pallas(
+    x: jax.Array,  # (B, T, C)
+    w1: jax.Array,  # (n_pairs, K, C, C) in WIO-per-pair converted to (pairs, K, C_out, C_in)
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    dilations: Tuple[int, ...],
+    slope: float = LRELU_SLOPE,
+    t_blk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused branch in (C, T)-layout Pallas; input/output stay NWC."""
+    B, T, C = x.shape
+    K = w1.shape[1]
+    # round the halo up so the window width (t_blk + 2*halo) stays a
+    # 128-multiple — Mosaic requires lane-dim blocks divisible by 128
+    halo = -(-branch_halo(K, dilations) // 64) * 64
+
+    t_pad = -(-T // t_blk) * t_blk
+    xt = jnp.swapaxes(x, 1, 2)  # (B, C, T)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (halo, halo + (t_pad - T))))
+
+    # weights: reference layout (pairs, K, C_in, C_out) -> (pairs, K, C_out, C_in)
+    w1k = jnp.swapaxes(w1, 2, 3)
+    w2k = jnp.swapaxes(w2, 2, 3)
+    b1k = b1[..., None]  # (pairs, C, 1)
+    b2k = b2[..., None]
+
+    grid = (B, t_pad // t_blk)
+    width = t_blk + 2 * halo
+    kernel = functools.partial(
+        _mrf_kernel, kernel_size=K, dilations=tuple(dilations), halo=halo, t_blk=t_blk, slope=slope, seq_len=T
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # overlapping halo windows: time dim is Element-indexed — window i
+            # covers elements [i*t_blk, i*t_blk + width) of the halo-padded x
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(C), pl.Element(width)),
+                lambda b, i: (b, 0, i * t_blk),
+            ),
+            pl.BlockSpec((w1.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((b1.shape[0], C, 1), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((w2.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0)),
+            pl.BlockSpec((b2.shape[0], C, 1), lambda b, i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, t_blk), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, C, t_pad), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, width), jnp.float32),
+            pltpu.VMEM((C, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt, w1k, b1k, w2k, b2k)
+
+    return jnp.swapaxes(out[:, :, :T], 1, 2)
