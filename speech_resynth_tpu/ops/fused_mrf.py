@@ -173,10 +173,12 @@ def mrf_branch_pallas(
                 (pl.Element(1), pl.Element(C), pl.Element(width)),
                 lambda b, i: (b, 0, i * t_blk),
             ),
-            pl.BlockSpec((w1.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0)),
-            pl.BlockSpec((b1.shape[0], C, 1), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((w2.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0)),
-            pl.BlockSpec((b2.shape[0], C, 1), lambda b, i: (0, 0, 0)),
+            # weights are grid-invariant: single-buffer them (no double
+            # buffering) so wide-channel stages fit in VMEM
+            pl.BlockSpec((w1.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0), pipeline_mode=pl.Buffered(1)),
+            pl.BlockSpec((b1.shape[0], C, 1), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
+            pl.BlockSpec((w2.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0), pipeline_mode=pl.Buffered(1)),
+            pl.BlockSpec((b2.shape[0], C, 1), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
         ],
         out_specs=pl.BlockSpec((1, C, t_blk), lambda b, i: (b, 0, i)),
         out_shape=jax.ShapeDtypeStruct((B, C, t_pad), x.dtype),

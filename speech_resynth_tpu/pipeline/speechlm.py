@@ -187,7 +187,10 @@ def run_zrc(result_dir: str, sets: str = "test") -> bool:
 
 
 def evaluate(config, model: LlamaLM, variables) -> Optional[pd.DataFrame]:
-    """Full sLM21 test evaluation (eval.py:12-67)."""
+    """Full sLM21 test evaluation (eval.py:12-67).
+
+    Scoring preference: the native pair scorer (pipeline/slm21_native.py)
+    when the dataset gold CSVs exist, else the external zrc CLI."""
     num_special = len(
         {
             t
@@ -208,6 +211,15 @@ def evaluate(config, model: LlamaLM, variables) -> Optional[pd.DataFrame]:
         model, variables, config.dataset.sblimp_test_file, result_dir / "syntactic/test.txt",
         config.dataloader.batch_size_per_device, num_special,
     )
+    from .slm21_native import run_native_slm21
+
+    if run_native_slm21(
+        result_dir,
+        dataset_dir_lexical=Path(str(config.dataset.swuggy_dir)).expanduser(),
+        dataset_dir_syntactic=Path(str(config.dataset.sblimp_dir)).expanduser(),
+        split="test",
+    ):
+        return aggregate_slm21_scores(result_dir, "test")
     if run_zrc(result_dir, "test"):
         return aggregate_slm21_scores(result_dir, "test")
     return None
