@@ -209,10 +209,16 @@ def dot_product_attention(
     """Attention over (B, H, N, D) tensors.
 
     mask: optional (B, N) bool, True where the key position is valid.
-    implementation: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla".
+    implementation: "auto" (pallas on TPU where the shape profits, xla
+    elsewhere), "pallas", "xla".
     """
     if implementation == "auto":
-        implementation = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # the flash kernel pads head_dim to 128 lanes — a 2x compute tax at
+        # d=64 (HuBERT/Llama); XLA also wins on short sequences where the
+        # full score matrix is tiny.  Use pallas where its blocking pays.
+        shape_profits = (q.shape[-1] % 128 == 0) and q.shape[-2] >= 256
+        implementation = "pallas" if (on_tpu and shape_profits) else "xla"
     if implementation == "pallas":
         return _flash_attention(q, k, v, mask, causal)
     return attention_reference(q, k, v, mask, causal)

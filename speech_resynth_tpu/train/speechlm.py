@@ -84,12 +84,9 @@ def make_speechlm_trainer(
 
     p_shard = param_shardings(mesh, variables["params"])
     params = jax.tree_util.tree_map(jax.device_put, variables["params"], p_shard)
-    state = TrainState.create(params, tx)
-    # optimizer moments follow the param layout
-    state = state.replace(
-        step=jax.device_put(state.step, NamedSharding(mesh, P())),
-        opt_state=jax.device_put(state.opt_state),
-    )
+    # jit the state init so optimizer moments inherit the param shardings
+    # (GSPMD propagation) and scalars land replicated on the same mesh
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
 
     def step_fn(state: TrainState, batch, dropout_rng=None):
         def loss_fn(params):
