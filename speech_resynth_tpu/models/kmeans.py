@@ -14,7 +14,7 @@ one-hot matmul (frames x K^T) — MXU-shaped, no host scatter loops.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ Differences by design (TPU):
 from __future__ import annotations
 
 import dataclasses
-import json
-from functools import partial
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -146,12 +144,24 @@ class SpeechEncoder:
             params = hubert_params(load_file(str(dense_path)))
             variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
         else:
+            import warnings
+
+            warnings.warn(
+                f"no converted weights at {dense_path}; {dense_model_name} is RANDOMLY initialized "
+                "(smoke-test mode). Convert the published checkpoint with scripts/convert_checkpoints.py.",
+                stacklevel=2,
+            )
             dummy = jnp.zeros((1, 4000), jnp.float32)
             variables = encoder.init(jax.random.key(rng_seed), dummy)
 
         if km_path.is_file():
             quantizer = KMeansQuantizer.load(km_path)
         else:
+            import warnings
+
+            warnings.warn(
+                f"no k-means centers at {km_path}; using random centers (smoke-test mode).", stacklevel=2
+            )
             key = jax.random.key(rng_seed + 1)
             centers = jax.random.normal(key, (vocab_size, config.hidden_size), jnp.float32)
             quantizer = KMeansQuantizer(centers)

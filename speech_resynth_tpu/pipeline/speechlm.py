@@ -20,7 +20,7 @@ import glob as globmod
 import json
 import subprocess
 from pathlib import Path
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import numpy as np
@@ -31,7 +31,7 @@ from ..models.speech_encoder import SpeechEncoder
 from ..text.units import units_to_unicode
 from ..tokenizers.bpe import BpeTokenizer
 from ..text.units import shift_unit
-from .data import SpeechDataset, load_named_units_from_json
+from .data import load_named_units_from_json
 
 
 def _make_encoder(config) -> SpeechEncoder:

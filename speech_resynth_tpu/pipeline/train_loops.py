@@ -465,4 +465,4 @@ def eval_speechlm(config) -> None:
     model, state, _, _ = make_speechlm_trainer(model_config, SpeechLMTrainerConfig(), mesh, total_steps=1)
     with CheckpointManager(Path(config.model.path) / "ckpt") as ckpt:
         state = ckpt.restore(state)
-    evaluate(config, model, {"params": state.params})
+    return evaluate(config, model, {"params": state.params})

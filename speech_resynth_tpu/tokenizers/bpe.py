@@ -12,7 +12,7 @@ import ctypes
 import json
 import subprocess
 from pathlib import Path
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
 _CSRC = Path(__file__).parent / "csrc"
 _LIB_PATH = _CSRC / "libbpe.so"

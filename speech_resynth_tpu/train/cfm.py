@@ -11,8 +11,7 @@ f32-params/bf16-compute policy; single-GPU loop -> pjit over the data axis
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

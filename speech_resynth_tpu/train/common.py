@@ -10,7 +10,6 @@ Maps the reference's torch training idioms onto TPU-native equivalents:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax

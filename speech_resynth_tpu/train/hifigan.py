@@ -16,7 +16,7 @@ mp.spawn/DDP becomes the data-axis mesh — gradients all-reduce over ICI.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,14 +14,14 @@ sharding constraints when mesh model dim > 1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, MODEL_AXIS
+from ..core.mesh import MODEL_AXIS
 from ..core.precision import Policy, DEFAULT
 from ..models.llama import LlamaConfig, LlamaLM, causal_lm_loss
 from .common import TrainState, make_optimizer, warmup_linear_decay

@@ -83,3 +83,13 @@ def test_speechlm_loop_resume_and_scores(tmp_path):
     train_speechlm(cfg2)
     steps2 = sorted(int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit())
     assert steps2[-1] == 4
+
+    # eval stage: restores the checkpoint, writes test score files; with no
+    # gold CSVs and no zrc installed the aggregate result is None
+    from speech_resynth_tpu.pipeline.train_loops import eval_speechlm
+
+    result = eval_speechlm(cfg2)
+    assert result is None
+    test_scores = Path(cfg2.dataset.result_dir) / "lexical/test.txt"
+    assert test_scores.is_file()
+    assert len(test_scores.read_text().splitlines()) == 2
