@@ -23,7 +23,7 @@ def main():
 
     decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
 
-    batch, units_per_seq = 8, 500  # 10 s of audio per sequence at 50 Hz units
+    batch, units_per_seq = 16, 500  # 10 s of audio per sequence at 50 Hz units
     ids = jnp.asarray(np.random.default_rng(0).integers(1, 2001, (batch, units_per_seq)), jnp.int32)
 
     def run(rng):
