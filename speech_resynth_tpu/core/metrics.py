@@ -46,9 +46,28 @@ class MetricsWriter:
             self.scalar(f"{prefix}{k}", v, step)
 
     def audio(self, tag: str, waveform, step: int, sample_rate: int = 16000) -> None:
-        if self._writer is not None:
-            wav = np.asarray(waveform, np.float32).reshape(-1, 1)
-            self._writer.add_audio(tag, wav, step, sample_rate=sample_rate)
+        if self._writer is None:
+            return
+        # tensorboardX.add_audio requires soundfile (absent in the image):
+        # build the audio summary proto with scipy-encoded PCM16 WAV bytes
+        import io
+
+        from scipy.io import wavfile
+        from tensorboardX.proto.summary_pb2 import Summary
+
+        wav = np.clip(np.asarray(waveform, np.float32).reshape(-1), -1.0, 1.0)
+        buf = io.BytesIO()
+        wavfile.write(buf, sample_rate, (wav * 32767).astype(np.int16))
+        audio = Summary.Audio(
+            sample_rate=sample_rate,
+            num_channels=1,
+            length_frames=len(wav),
+            encoded_audio_string=buf.getvalue(),
+            content_type="audio/wav",
+        )
+        self._writer.file_writer.add_summary(
+            Summary(value=[Summary.Value(tag=tag, audio=audio)]), step
+        )
 
     def figure(self, tag: str, fig, step: int) -> None:
         if self._writer is not None:
