@@ -88,6 +88,19 @@ class MetricsWriter:
         self._writer.add_figure(tag, fig, step)
         plt.close(fig)
 
+    def memory(self, step: int, prefix: str = "memory/") -> None:
+        """Device HBM usage scalars (the reference logs CUDA peak memory,
+        speechlm/train.py:196-197)."""
+        if self._writer is None:
+            return
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            return
+        for key, tag in (("bytes_in_use", "in_use (GB)"), ("peak_bytes_in_use", "peak (GB)")):
+            if key in stats:
+                self.scalar(prefix + tag, stats[key] / 2**30, step)
+
     def flush(self) -> None:
         if self._writer is not None:
             self._writer.flush()

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager
-from ..core.mesh import dp_mesh_for_batch, make_mesh, shard_batch
+from ..core.mesh import distributed_init, dp_mesh_for_batch, make_mesh, shard_batch
 from ..core.metrics import MetricsWriter, StepTimer
 from ..core.rng import RngStream
 from ..models.cfm import CFMConfig
@@ -108,6 +108,7 @@ def train_flow_matching(config) -> None:
     from ..models.speech_encoder import embedding as kmeans_embedding
     from ..train.cfm import CFMTrainerConfig, make_trainer
 
+    distributed_init()  # multi-host no-op unless coordinator env is set
     fm = config.flow_matching
     mesh, batch_size = dp_mesh_for_batch(int(fm.batch_size))
     model_config = CFMConfig(
@@ -208,6 +209,7 @@ def _export_cfm(config, model_config, state) -> None:
 def train_hifigan(config) -> None:
     from ..train.hifigan import HifiGanTrainerConfig, make_gan_trainer
 
+    distributed_init()  # multi-host no-op unless coordinator env is set
     hg = config.hifigan
     mesh, gan_batch = dp_mesh_for_batch(int(hg.batch_size))
     model_config = HifiGanConfig(
@@ -342,6 +344,7 @@ def _validate_hifigan(config, gen, state, trainer_config, step: int, writer: Met
 def train_speechlm(config) -> None:
     from ..train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
 
+    distributed_init()  # multi-host no-op unless coordinator env is set
     mesh = make_mesh()
     num_special = len(
         {
@@ -410,6 +413,7 @@ def train_speechlm(config) -> None:
                 step += 1
                 if step % trainer_config.summary_interval == 0:
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
+                    writer.memory(step)  # HBM usage (reference logs CUDA peak, train.py:196-197)
 
             ckpt.save(step, state)
             if jax.process_index() == 0:
