@@ -4,10 +4,16 @@ Measures the BASELINE.json headline metric — audio seconds synthesized per
 wall-clock second per chip — over the full inference path: 16-step CFM Euler
 ODE (reference config dt=0.0625, truncation 1.0;
 configs/resynth/mhubert-expresso-2000.yaml:42-43) + HiFi-GAN x320 vocoder at
-reference model sizes.  Prints one JSON line.  ``vs_baseline`` is measured
-RTF / 50 (the >=50x-real-time-per-chip north star).
+reference model sizes.  Prints one JSON line (plus MFU/throughput fields).
+``vs_baseline`` is measured RTF / 50 (the >=50x-real-time-per-chip north
+star).
+
+``--pretrained <dir>`` benches a converted checkpoint directory (our
+composite HF-format layout) instead of random weights — throughput is
+weight-agnostic, but this keeps the bench honest once real weights exist.
 """
 
+import argparse
 import json
 import time
 
@@ -17,14 +23,27 @@ import numpy as np
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--pretrained",
+        default=None,
+        help="composite checkpoint dir (models/export.py layout); random weights if omitted",
+    )
+    args = parser.parse_args()
+
+    from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
     from speech_resynth_tpu.models.cfm import CFMConfig
     from speech_resynth_tpu.models.composite import ConditionalFlowMatchingWithHifiGan
 
-    decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
+    if args.pretrained:
+        decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(args.pretrained, policy=BF16_INFERENCE)
+    else:
+        decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
 
+    vocab = decoder.model.config.vocab_size
     batch, units_per_seq = 16, 500  # 10 s of audio per sequence at 50 Hz units
-    ids = jnp.asarray(np.random.default_rng(0).integers(1, 2001, (batch, units_per_seq)), jnp.int32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, vocab + 1, (batch, units_per_seq)), jnp.int32)
 
     def run(rng):
         # pcm16: device-side int16 conversion (the serving wire format)
@@ -35,6 +54,11 @@ def main():
     # host materialization (device_get) of every output byte.
     wav, lengths = run(jax.random.key(0))
     np.asarray(wav)
+
+    # FLOPs of one synthesize program (host-side HLO analysis; 0 if opaque)
+    flops = compiled_flops(
+        decoder._synth.lower(ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=True)
+    )
 
     # steady-state serving throughput: enqueue all batches (async dispatch),
     # then drain each output fully to the host; wall time covers the last
@@ -49,16 +73,18 @@ def main():
 
     audio_seconds = iters * float(jnp.sum(lengths)) / 16000.0
     rtf = audio_seconds / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "audio_sec_synthesized_per_sec_per_chip",
-                "value": round(rtf, 2),
-                "unit": "x realtime",
-                "vs_baseline": round(rtf / 50.0, 3),
-            }
-        )
-    )
+    peak = device_peak_flops()
+    result = {
+        "metric": "audio_sec_synthesized_per_sec_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "units_per_sec": round(iters * batch * units_per_seq / elapsed, 1),
+        "weights": "pretrained" if args.pretrained else "random",
+    }
+    if flops > 0 and peak > 0:
+        result["mfu"] = round(flops * iters / (elapsed * peak), 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

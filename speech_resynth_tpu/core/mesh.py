@@ -66,11 +66,18 @@ def data_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays on-device with batch-dim sharding."""
+    """Place a pytree of host arrays on-device with batch-dim sharding.
+
+    Multi-host: each host holds only its 1/process_count slice of the global
+    batch (pipeline/data._global_batch_plan), so the global jax.Array is
+    assembled from process-local shards."""
 
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharded(mesh, x.ndim))
+        sharding = data_sharded(mesh, x.ndim)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 

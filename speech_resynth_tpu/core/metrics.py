@@ -149,6 +149,61 @@ def trace_span(name: str):
         yield
 
 
+# bf16 peak FLOP/s per chip by device kind (MXU); used for MFU reporting.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def device_peak_flops(device=None) -> float:
+    """Best-effort bf16 peak FLOP/s for a device (0.0 if unknown/CPU)."""
+    device = device or jax.local_devices()[0]
+    kind = getattr(device, "device_kind", "") or ""
+    for name, peak in _PEAK_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return 0.0
+
+
+def compiled_flops(compiled) -> float:
+    """FLOPs of one execution from XLA cost analysis (0.0 if unavailable).
+
+    ``compiled`` is the object returned by ``jit(f).lower(*args).compile()``
+    or by ``jit(f).lower(*args)`` (Lowered.cost_analysis runs on the HLO
+    module without a backend compile — cheap, so loops can call it once).
+    """
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def step_flops(jitted_fn, *args, **kwargs) -> float:
+    """Per-device FLOPs of one jitted step (0.0 if analysis unavailable)."""
+    try:
+        total = compiled_flops(jitted_fn.lower(*args, **kwargs))
+    except Exception:
+        return 0.0
+    return total / max(jax.device_count(), 1)
+
+
+def mfu(flops_per_step: float, step_time_s: float, device=None) -> float:
+    """Model FLOPs utilization of the local chip (0.0 when peak unknown)."""
+    peak = device_peak_flops(device)
+    if peak <= 0 or step_time_s <= 0 or flops_per_step <= 0:
+        return 0.0
+    return flops_per_step / (step_time_s * peak)
+
+
 def start_profiler_trace(log_dir: str | Path) -> None:
     jax.profiler.start_trace(str(log_dir))
 

@@ -213,7 +213,9 @@ FlacStream decode_flac(const uint8_t* data, size_t size) {
     uint8_t type = hdr & 0x7F;
     uint32_t len = (data[pos + 1] << 16) | (data[pos + 2] << 8) | data[pos + 3];
     pos += 4;
-    if (type == 0 && len >= 34) {  // STREAMINFO
+    // Declared metadata length can exceed the file; verify the 34 STREAMINFO
+    // bytes are actually present before reading them.
+    if (type == 0 && len >= 34 && pos + 34 <= size) {  // STREAMINFO
       const uint8_t* p = data + pos;
       s.sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);
       s.channels = ((p[12] >> 1) & 0x7) + 1;
@@ -236,7 +238,12 @@ FlacStream decode_flac(const uint8_t* data, size_t size) {
     // frame sync
     uint32_t sync = br.read_bits(14);
     if (br.error) break;
-    if (sync != 0x3FFE) return s;  // desync: stop (tolerate trailing junk)
+    if (sync != 0x3FFE) {
+      // Desync after at least one decoded frame = trailing junk (e.g. an ID3
+      // tag): accept what we have.  Desync before any frame = malformed.
+      if (!s.samples.empty()) break;
+      return s;
+    }
     br.read_bit();  // reserved
     br.read_bit();  // blocking strategy
     uint32_t bs_code = br.read_bits(4);

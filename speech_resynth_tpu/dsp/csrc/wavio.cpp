@@ -58,12 +58,15 @@ WavData read_wav(const char* path) {
     const uint8_t* hdr = buf.data() + pos;
     uint32_t chunk_len = rd_u32(hdr + 4);
     const uint8_t* body = hdr + 8;
-    if (!std::memcmp(hdr, "fmt ", 4) && chunk_len >= 16) {
+    // A declared chunk_len can exceed the file (truncated/malformed input);
+    // only read body bytes that are actually present in the buffer.
+    size_t avail = buf.size() - (pos + 8);
+    if (!std::memcmp(hdr, "fmt ", 4) && chunk_len >= 16 && avail >= 16) {
       fmt = rd_u16(body);
       channels = rd_u16(body + 2);
       sr = rd_u32(body + 4);
       bits = rd_u16(body + 14);
-      if (fmt == 0xFFFE && chunk_len >= 40) fmt = rd_u16(body + 24);  // WAVE_FORMAT_EXTENSIBLE
+      if (fmt == 0xFFFE && chunk_len >= 40 && avail >= 26) fmt = rd_u16(body + 24);  // WAVE_FORMAT_EXTENSIBLE
     } else if (!std::memcmp(hdr, "data", 4)) {
       data_ptr = body;
       data_len = std::min<uint32_t>(chunk_len, buf.size() - (pos + 8));

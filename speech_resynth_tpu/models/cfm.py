@@ -170,21 +170,35 @@ class ConditionalFlowMatchingModel(nn.Module):
         mse = jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * cfg.dim_in, 1)
         return mse + duration_loss, {"mse": mse, "duration_loss": duration_loss}
 
+    def predict_durations(self, input_ids: jax.Array) -> jax.Array:
+        """Rounded per-token durations (B, L) int32, pad tokens zeroed.
+
+        The cheap pre-pass callers run on the host to pick an exact static
+        frame bound before jitting ``sample`` (reference models.py:157-164
+        computes exact expanded lengths; XLA needs them static)."""
+        cond = self._embed_units(input_ids)
+        durations = self.duration_predictor(cond, train=False)
+        return jnp.where(input_ids != 0, durations, 0)
+
     def sample(
         self,
         input_ids: jax.Array,
         dt: float = 0.1,
         truncation_value: Optional[float] = None,
         *,
-        rng: jax.Array,
+        rng: Optional[jax.Array] = None,
         max_frames: Optional[int] = None,
+        x0: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Euler-ODE mel synthesis (models.py:132-189 semantics).
 
         Returns (log_mels, frame_mask); pad frames hold log(1e-5).
         ``max_frames``: static output length when predict_duration expands the
-        sequence; defaults to input length (the non-duration config's case,
-        where units are frame-rate and lengths match).
+        sequence.  When omitted in duration mode, the exact expanded length is
+        used if durations are concrete (eager apply); under a jit trace that
+        is impossible, so callers MUST pass ``max_frames`` (composite.py runs
+        the ``predict_durations`` pre-pass to compute it) — a ValueError here
+        beats the reference-diverging silent truncation.
         """
         cfg = self.config
         token_mask = input_ids != 0
@@ -193,7 +207,18 @@ class ConditionalFlowMatchingModel(nn.Module):
         if cfg.predict_duration:
             durations = self.duration_predictor(cond, train=False)
             durations = jnp.where(token_mask, durations, 0)
-            out_len = max_frames if max_frames is not None else int(input_ids.shape[1]) * 8
+            if max_frames is not None:
+                out_len = max_frames
+            else:
+                total = jnp.sum(durations, axis=-1)
+                try:
+                    out_len = max(int(jnp.max(total)), 1)  # eager: exact, never truncates
+                except jax.errors.ConcretizationTypeError as e:
+                    raise ValueError(
+                        "sample() under jit with predict_duration=True needs a static "
+                        "max_frames; run predict_durations() on the host first "
+                        "(see ConditionalFlowMatchingWithHifiGan.synthesize)"
+                    ) from e
             cond, mask = regulate_length(cond, durations, out_len)
         else:
             mask = token_mask
@@ -201,7 +226,10 @@ class ConditionalFlowMatchingModel(nn.Module):
                 raise ValueError("max_frames must equal input length when predict_duration=False")
 
         bsz, seq_len, _ = cond.shape
-        x0 = jax.random.normal(rng, (bsz, seq_len, cfg.dim_in), jnp.float32)
+        if x0 is None:
+            if rng is None:
+                raise ValueError("sample() needs rng (or an explicit x0)")
+            x0 = jax.random.normal(rng, (bsz, seq_len, cfg.dim_in), jnp.float32)
         if truncation_value is not None:
             x0 = jnp.clip(x0, -truncation_value, truncation_value)
 

@@ -54,6 +54,19 @@ class ConditionalFlowMatchingWithHifiGan:
 
     def __post_init__(self):
         self._synth = jax.jit(self._synthesize, static_argnames=("dt", "truncation_value", "max_frames", "pcm16"))
+        self._predict_durations = jax.jit(
+            lambda ids: self.model.apply(self.model_variables, ids, method="predict_durations")
+        )
+
+    def _duration_bound(self, input_ids: jax.Array) -> int:
+        """Host-side duration pre-pass: exact expanded length for this batch,
+        bucketed (multiple of 64) to bound the number of jitted shapes.
+
+        Replaces the old silent ``8 * input_len`` truncation bound — the
+        reference computes exact expanded lengths (models.py:157-164)."""
+        durations = self._predict_durations(jnp.asarray(input_ids))
+        needed = int(np.asarray(jnp.sum(durations, axis=-1)).max())
+        return max(64, -(-max(needed, 1) // 64) * 64)
 
     # -- construction ----------------------------------------------------------
 
@@ -84,7 +97,7 @@ class ConditionalFlowMatchingWithHifiGan:
         directory containing config.json + weights (the composite config holds
         ``model_config`` and ``vocoder_config`` sub-dicts, configs.py:44-61).
         """
-        from .convert import cfm_model_params, hifigan_generator_params
+        from .convert import cfm_model_params, hifigan_generator_buffers, hifigan_generator_params
 
         model_dir = Path(model_dir)
         with open(model_dir / "config.json") as f:
@@ -115,12 +128,16 @@ class ConditionalFlowMatchingWithHifiGan:
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
         vparams = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(voc_sd))
         vvars = {"params": vparams}
+        if vocoder_config.normalize_before:
+            # normalize_before vocoders carry mean/scale stats; apply() would
+            # otherwise try to create the immutable "buffers" collection.
+            vvars["buffers"] = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_buffers(voc_sd))
         return cls(model, mvars, vocoder, vvars)
 
     @classmethod
     def load_pretrained(cls, model_path: str, vocoder_path: str, policy: Policy = BF16_INFERENCE):
         """Two-directory variant (models.py:200-209 parity)."""
-        from .convert import cfm_model_params, hifigan_generator_params
+        from .convert import cfm_model_params, hifigan_generator_buffers, hifigan_generator_params
 
         model_dir, voc_dir = Path(model_path), Path(vocoder_path)
         with open(model_dir / "config.json") as f:
@@ -137,7 +154,10 @@ class ConditionalFlowMatchingWithHifiGan:
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
         mvars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(_load_state_dict(model_dir)))
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
-        vvars = {"params": jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(_load_state_dict(voc_dir)))}
+        voc_sd = _load_state_dict(voc_dir)
+        vvars = {"params": jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(voc_sd))}
+        if vocoder_config.normalize_before:
+            vvars["buffers"] = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_buffers(voc_sd))
         return cls(model, mvars, vocoder, vvars)
 
     # -- inference --------------------------------------------------------------
@@ -165,10 +185,16 @@ class ConditionalFlowMatchingWithHifiGan:
         if self.fused_vocoder and jax.default_backend() in ("tpu", "axon"):
             from .hifigan import generator_apply_fused
 
+            spec_in = spectrogram
+            if self.vocoder.config.normalize_before:
+                # the fused path bypasses HifiGanGenerator.apply, so apply the
+                # input normalization (hifigan.py normalize_before) here
+                buf = self.vocoder_variables["buffers"]
+                spec_in = (spectrogram - buf["mean"]) / buf["scale"]
             waveform = generator_apply_fused(
                 self.vocoder_variables["params"],
                 self.vocoder.config,
-                spectrogram,
+                spec_in,
                 compute_dtype=self.vocoder.policy.compute_dtype,
             )
         else:
@@ -193,6 +219,8 @@ class ConditionalFlowMatchingWithHifiGan:
         ``pcm16=True`` returns int16 samples (device-side conversion)."""
         if rng is None:
             rng = jax.random.key(0)
+        if max_frames is None and self.model.config.predict_duration:
+            max_frames = self._duration_bound(input_ids)
         return self._synth(
             jnp.asarray(input_ids), rng, dt=dt, truncation_value=truncation_value, max_frames=max_frames, pcm16=pcm16
         )

@@ -74,7 +74,16 @@ def hifigan_generator_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
 
 
 def hifigan_generator_buffers(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
-    out = {}
+    """mean/scale normalization stats (used when normalize_before=True).
+    Falls back to identity stats sized from conv_pre if the checkpoint lacks
+    them, so apply() never has to create the immutable buffers collection."""
+    import numpy as np
+
+    in_dim = state_dict["conv_pre.weight"].shape[1]
+    out = {
+        "mean": np.zeros((in_dim,), np.float32),
+        "scale": np.ones((in_dim,), np.float32),
+    }
     if "mean" in state_dict:
         out["mean"] = _np(state_dict["mean"])
     if "scale" in state_dict:

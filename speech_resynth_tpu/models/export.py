@@ -33,7 +33,11 @@ def _dense_w(k) -> np.ndarray:  # (I, O) -> torch (O, I)
     return _np(k).T
 
 
-def hifigan_generator_state_dict(params: Mapping) -> Dict[str, np.ndarray]:
+def hifigan_generator_state_dict(params: Mapping, buffers: Mapping | None = None) -> Dict[str, np.ndarray]:
+    """``params`` is the generator's params collection; pass its ``buffers``
+    collection too when the model was built with ``normalize_before=True`` so
+    the real mean/scale normalization stats are exported (HF checkpoints with
+    normalize_before carry them; zeros/ones is only correct without it)."""
     sd: Dict[str, np.ndarray] = {
         "conv_pre.weight": _conv1d_w(params["conv_pre"]["kernel"]),
         "conv_pre.bias": _np(params["conv_pre"]["bias"]),
@@ -56,8 +60,12 @@ def hifigan_generator_state_dict(params: Mapping) -> Dict[str, np.ndarray]:
             sd[f"resblocks.{n}.convs2.{j}.bias"] = _np(block[f"convs2_{j}"]["bias"])
             j += 1
         n += 1
-    sd["mean"] = np.zeros(sd["conv_pre.weight"].shape[1], np.float32)
-    sd["scale"] = np.ones(sd["conv_pre.weight"].shape[1], np.float32)
+    if buffers and "mean" in buffers:
+        sd["mean"] = _np(buffers["mean"])
+        sd["scale"] = _np(buffers["scale"])
+    else:
+        sd["mean"] = np.zeros(sd["conv_pre.weight"].shape[1], np.float32)
+        sd["scale"] = np.ones(sd["conv_pre.weight"].shape[1], np.float32)
     return sd
 
 
@@ -135,13 +143,21 @@ def save_pretrained(model_dir: str | Path, state_dict: Dict[str, np.ndarray], co
     save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, str(model_dir / "model.safetensors"))
 
 
-def save_composite_pretrained(model_dir: str | Path, cfm_variables, cfm_config, voc_params, voc_config) -> None:
+def save_composite_pretrained(model_dir: str | Path, cfm_variables, cfm_config, voc_variables, voc_config) -> None:
     """Composite ConditionalFlowMatchingWithHifiGan directory loadable by our
-    ``from_pretrained`` (models.py:192-256 / configs.py:44-61 layout)."""
+    ``from_pretrained`` (models.py:192-256 / configs.py:44-61 layout).
+
+    ``voc_variables`` may be the full variables dict ({"params", "buffers"})
+    or a bare params tree (buffers default to zeros/ones)."""
     import dataclasses
 
+    if "params" in voc_variables:
+        voc_params = voc_variables["params"]
+        voc_buffers = voc_variables.get("buffers")
+    else:
+        voc_params, voc_buffers = voc_variables, None
     sd = {f"model.{k}": v for k, v in cfm_state_dict(cfm_variables).items()}
-    sd.update({f"vocoder.{k}": v for k, v in hifigan_generator_state_dict(voc_params).items()})
+    sd.update({f"vocoder.{k}": v for k, v in hifigan_generator_state_dict(voc_params, voc_buffers).items()})
     config = {
         "model_config": dataclasses.asdict(cfm_config),
         "vocoder_config": {

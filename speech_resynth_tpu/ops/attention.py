@@ -135,7 +135,10 @@ def _flash_forward(
     k_len = k.shape[2]
     scale = 1.0 / math.sqrt(d)
 
-    d_pad = max(128, -(-d // 128) * 128)
+    # d=64 runs natively (Mosaic packs two 64-wide rows per 128-lane tile
+    # on second-minor dims; the contraction itself is half-width but avoids
+    # the 2x zero-padding FLOP tax).  Anything else rounds up to 128 lanes.
+    d_pad = d if d in (64, 128) else max(128, -(-d // 128) * 128)
     q_pad = -(-q_len // blk_q) * blk_q
     k_pad = -(-k_len // blk_k) * blk_k
 
@@ -214,10 +217,13 @@ def dot_product_attention(
     """
     if implementation == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # the flash kernel pads head_dim to 128 lanes — a 2x compute tax at
-        # d=64 (HuBERT/Llama); XLA also wins on short sequences where the
-        # full score matrix is tiny.  Use pallas where its blocking pays.
-        shape_profits = (q.shape[-1] % 128 == 0) and q.shape[-2] >= 256
+        # Dispatch driven by benchmarks/bench_attention.py on v5e (PARITY.md
+        # §attention table): the kernel (with the native d=64 path) beats XLA
+        # 1.6-4.0x on every production shape — CFM d=128, HuBERT d=64 bidir,
+        # Llama d=64 causal @128 — except long causal (N=1024), where XLA's
+        # fused SDPA is ~12% ahead; leave that to XLA.
+        d, n = q.shape[-1], q.shape[-2]
+        shape_profits = (d in (64, 128) or d % 128 == 0) and n >= 128 and not (causal and n > 512)
         implementation = "pallas" if (on_tpu and shape_profits) else "xla"
     if implementation == "pallas":
         return _flash_attention(q, k, v, mask, causal)

@@ -34,6 +34,44 @@ def shard_for_process(items: Sequence, process_index: int, process_count: int) -
     return list(items[process_index::process_count])
 
 
+def _global_batch_plan(
+    n: int,
+    batch_size: int,
+    shuffle: bool,
+    seed: int,
+    epoch: int,
+    drop_last: bool,
+    process_index: int,
+    process_count: int,
+):
+    """Partition a globally-shuffled order into global batches and yield
+    (global_indices, local_indices) per step.
+
+    ``batch_size`` is the GLOBAL batch: every host walks the same global
+    batches (same count, same shuffle) and materializes only its contiguous
+    ``batch_size/process_count`` slice — the multi-host equivalent of
+    DistributedSampler (speechlm/train.py:96) that keeps steps_per_epoch =
+    len(dataset)//batch_size consistent on every host and in the LR
+    schedule.  Pad dims must be derived from the *global* indices so the
+    per-host shards of one jax.Array agree in shape.
+    """
+    if batch_size % process_count:
+        raise ValueError(f"global batch {batch_size} not divisible by {process_count} processes")
+    rng = np.random.default_rng((seed, epoch))
+    order = np.arange(n)
+    if shuffle:
+        rng.shuffle(order)
+    per = batch_size // process_count
+    n_batches = n // batch_size if drop_last else -(-n // batch_size)
+    for b in range(n_batches):
+        gidx = order[b * batch_size : (b + 1) * batch_size]
+        if len(gidx) == batch_size:
+            lidx = gidx[process_index * per : (process_index + 1) * per]
+        else:  # ragged tail (drop_last=False): stride so every host gets work
+            lidx = gidx[process_index::process_count]
+        yield gidx, lidx
+
+
 def bucket_length(n: int, multiple: int = 64, minimum: int = 64) -> int:
     """Round a padded dimension up to a bucket boundary.
 
@@ -182,6 +220,17 @@ class UnitDataset:
                 mel = np.pad(mel, ((0, fps - len(mel)), (0, 0)), constant_values=-100.0)
         return {"input_ids": ids, "duration_labels": durs, "spectrogram_labels": mel}
 
+    def _mel_len(self, idx: int) -> int:
+        """Frame count without materializing the mel (for cross-host pad
+        dims): sum(durations) in dedup/duration mode, else the cached file's
+        shape via mmap."""
+        if self.durations[idx].size:
+            return int(self.durations[idx].sum())
+        if self.spectrogram_dir is None:
+            return 1
+        path = self.spectrogram_dir / (self.names[idx] + ".npy")
+        return int(np.load(path, mmap_mode="r").size) // 80
+
     def batches(
         self,
         batch_size: int,
@@ -192,23 +241,23 @@ class UnitDataset:
         process_index: int = 0,
         process_count: int = 1,
     ) -> Iterator[Dict]:
-        """Padded-collated batches (pad ids/durs 0, mel -100)."""
-        rng = np.random.default_rng((seed, epoch))
-        order = np.arange(len(self.names))
-        if shuffle:
-            rng.shuffle(order)
-        order = order[process_index::process_count]
+        """Padded-collated batches (pad ids/durs 0, mel -100).
 
-        n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
-        for b in range(n_batches):
-            idxs = order[b * batch_size : (b + 1) * batch_size]
+        ``batch_size`` is the GLOBAL batch; this host materializes its
+        1/process_count slice of every global batch (_global_batch_plan)."""
+        rng = np.random.default_rng((seed, epoch, process_index))
+        for gidx, idxs in _global_batch_plan(
+            len(self.names), batch_size, shuffle, seed, epoch, drop_last, process_index, process_count
+        ):
             examples = [self._example(i, rng) for i in idxs]
-            L = max(len(e["input_ids"]) for e in examples)
-            N = max(e["spectrogram_labels"].shape[0] for e in examples)
-            if self.frames_per_seg is None:
-                # variable-length mode: bucket pad dims to bound recompiles
-                L = bucket_length(L)
-                N = bucket_length(N)
+            if self.frames_per_seg is not None:
+                L = max(len(e["input_ids"]) for e in examples)
+                N = max(e["spectrogram_labels"].shape[0] for e in examples)
+            else:
+                # variable-length mode: pad dims from GLOBAL metadata (so all
+                # hosts agree), bucketed to bound recompiles
+                L = bucket_length(max(len(self.units[i]) for i in gidx))
+                N = bucket_length(max(self._mel_len(i) for i in gidx))
             B = len(examples)
             ids = np.zeros((B, L), np.int32)
             durs = np.zeros((B, L), np.int32)
@@ -303,13 +352,13 @@ class MelDataset:
         process_index: int = 0,
         process_count: int = 1,
     ) -> Iterator[Dict]:
-        rng = np.random.default_rng((seed, epoch))
-        order = np.arange(len(self.names))
-        if shuffle:
-            rng.shuffle(order)
-        order = order[process_index::process_count]
-        for b in range(len(order) // batch_size):
-            idxs = order[b * batch_size : (b + 1) * batch_size]
+        """``batch_size`` is the GLOBAL batch (see _global_batch_plan); crop
+        shapes are static (frames_per_seg/segment_size) so per-host collation
+        needs no cross-host metadata."""
+        rng = np.random.default_rng((seed, epoch, process_index))
+        for _, idxs in _global_batch_plan(
+            len(self.names), batch_size, shuffle, seed, epoch, True, process_index, process_count
+        ):
             mels, wavs, masks = zip(*(self._example(self.names[i], rng) for i in idxs))
             yield {
                 "mel": np.stack(mels),
@@ -367,13 +416,11 @@ class UnitTextDataset:
         process_index: int = 0,
         process_count: int = 1,
     ) -> Iterator[Dict]:
-        rng = np.random.default_rng((seed, epoch))
-        order = np.arange(len(self.sequences))
-        if shuffle:
-            rng.shuffle(order)
-        order = order[process_index::process_count]
-        for b in range(len(order) // batch_size):
-            idxs = order[b * batch_size : (b + 1) * batch_size]
+        """``batch_size`` is the GLOBAL batch (see _global_batch_plan)."""
+        rng = np.random.default_rng((seed, epoch, process_index))
+        for _, idxs in _global_batch_plan(
+            len(self.sequences), batch_size, shuffle, seed, epoch, True, process_index, process_count
+        ):
             ids = np.stack([self._example(i, rng) for i in idxs])
             yield {
                 "input_ids": ids,

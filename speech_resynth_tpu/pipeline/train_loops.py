@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core.checkpoint import CheckpointManager
 from ..core.mesh import distributed_init, dp_mesh_for_batch, make_mesh, shard_batch
-from ..core.metrics import MetricsWriter, StepTimer
+from ..core.metrics import MetricsWriter, StepTimer, mfu, step_flops, trace_span
 from ..core.rng import RngStream
 from ..models.cfm import CFMConfig
 from ..models.hifigan import HifiGanConfig
@@ -156,6 +156,7 @@ def train_flow_matching(config) -> None:
     path = Path(fm.path)
     writer = MetricsWriter(path / "logs")
     timer = StepTimer()
+    flops_per_step = None
     rngs = RngStream(trainer_config.seed)
 
     with CheckpointManager(path / "ckpt") as ckpt:
@@ -174,12 +175,18 @@ def train_flow_matching(config) -> None:
                 process_count=jax.process_count(),
             ):
                 arrays = {k: batch[k] for k in ("input_ids", "spectrogram_labels", "duration_labels")}
-                state, metrics = step_fn(state, shard_batch(arrays, mesh), rngs.fold_in(step))
+                sharded = shard_batch(arrays, mesh)
+                if flops_per_step is None:
+                    flops_per_step = step_flops(step_fn, state, sharded, rngs.fold_in(step))
+                with trace_span("cfm_train_step"):
+                    state, metrics = step_fn(state, sharded, rngs.fold_in(step))
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
                     writer.scalar("train/steps_per_sec", 1.0 / max(timer.mean_step_time, 1e-9), step)
+                    if flops_per_step:
+                        writer.scalar("train/MFU", mfu(flops_per_step, timer.mean_step_time), step)
 
             if epoch % trainer_config.save_interval_epoch == 0:
                 if jax.process_index() == 0:
@@ -212,9 +219,15 @@ def train_hifigan(config) -> None:
     distributed_init()  # multi-host no-op unless coordinator env is set
     hg = config.hifigan
     mesh, gan_batch = dp_mesh_for_batch(int(hg.batch_size))
+    defaults = HifiGanConfig()
     model_config = HifiGanConfig(
         upsample_rates=tuple(hg.upsample_rates),
         upsample_kernel_sizes=tuple(hg.upsample_kernel_sizes),
+        upsample_initial_channel=hg.get("upsample_initial_channel", defaults.upsample_initial_channel),
+        resblock_kernel_sizes=tuple(hg.get("resblock_kernel_sizes", defaults.resblock_kernel_sizes)),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in hg.get("resblock_dilation_sizes", defaults.resblock_dilation_sizes)
+        ),
         normalize_before=False,
     )
 
@@ -253,6 +266,8 @@ def train_hifigan(config) -> None:
 
     path = Path(hg.path)
     writer = MetricsWriter(path / "logs")
+    timer = StepTimer()
+    flops_per_step = None
     with CheckpointManager(path / "ckpt") as ckpt:
         if ckpt.has_checkpoint():
             state = ckpt.restore(state)
@@ -268,10 +283,18 @@ def train_hifigan(config) -> None:
                 process_count=jax.process_count(),
             ):
                 arrays = {k: batch[k] for k in ("mel", "wav", "mel_mask")}
-                state, metrics = step_fn(state, shard_batch(arrays, mesh))
+                sharded = shard_batch(arrays, mesh)
+                if flops_per_step is None:
+                    flops_per_step = step_flops(step_fn, state, sharded)
+                with trace_span("hifigan_train_step"):
+                    state, metrics = step_fn(state, sharded)
                 step += 1
+                timer.tick()
                 if step % trainer_config.summary_interval == 0:
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="training/")
+                    writer.scalar("training/steps_per_sec", 1.0 / max(timer.mean_step_time, 1e-9), step)
+                    if flops_per_step:
+                        writer.scalar("training/MFU", mfu(flops_per_step, timer.mean_step_time), step)
                 if step % trainer_config.checkpoint_interval == 0:
                     ckpt.save(step, state)
                     _export_hifigan(config, model_config, state)
@@ -394,6 +417,8 @@ def train_speechlm(config) -> None:
 
     path = Path(config.model.path)
     writer = MetricsWriter(path / "logs")
+    timer = StepTimer()
+    flops_per_step = None
     with CheckpointManager(path / "ckpt") as ckpt:
         start_epoch = 1
         if ckpt.has_checkpoint():
@@ -409,11 +434,23 @@ def train_speechlm(config) -> None:
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
             ):
-                state, metrics = step_fn(state, shard_batch(batch, mesh))
+                sharded = shard_batch(batch, mesh)
+                if flops_per_step is None:
+                    flops_per_step = step_flops(step_fn, state, sharded)
+                with trace_span("speechlm_train_step"):
+                    state, metrics = step_fn(state, sharded)
                 step += 1
+                timer.tick()
                 if step % trainer_config.summary_interval == 0:
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
                     writer.memory(step)  # HBM usage (reference logs CUDA peak, train.py:196-197)
+                    writer.scalar(
+                        "train/tokens_per_sec",
+                        timer.throughput(global_batch * trainer_config.units_per_sample),
+                        step,
+                    )
+                    if flops_per_step:
+                        writer.scalar("train/MFU", mfu(flops_per_step, timer.mean_step_time), step)
 
             ckpt.save(step, state)
             if jax.process_index() == 0:

@@ -1,12 +1,25 @@
 """Text normalization + WER/CER metrics.
 
-Capability parity with the reference's jiwer pipelines
+Exact-order parity with the reference's jiwer pipelines
 (/root/reference/src/flow_matching/utils/misc.py:36-58) and its
 tacotron-derived substitutions (utils/text.py:29-75): lowercase, number
 expansion (with the year-style special cases), abbreviation expansion,
 punctuation removal, contraction expansion, kaldi non-word removal,
 whitespace normalization; WER/CER as total-edit-distance over
 total-reference-length (jiwer aggregation semantics).
+
+Two behaviors of the reference pipeline are subtle but load-bearing for
+metric comparability, and are replicated deliberately (see test_text.py):
+
+1. jiwer.RemovePunctuation (misc.py:42) strips every Unicode category-P
+   character — including apostrophes — BEFORE
+   jiwer.ExpandCommonEnglishContractions (misc.py:43) runs.  Every pattern
+   in that transform contains an apostrophe, so contraction expansion is
+   effectively a no-op in the reference: "don't" -> "dont", never "do not".
+2. RemovePunctuation keeps ASCII symbols $ + < = > ^ ` | ~ (Unicode
+   category S, not P).  Consequently jiwer.RemoveKaldiNonWords (misc.py:44)
+   can still delete "<noise>"-style tokens, but "[noise]" has already lost
+   its brackets and survives as the word "noise".
 
 jiwer/inflect are not in the TPU image, so the number-to-words engine and
 Levenshtein aggregation are implemented here.
@@ -15,6 +28,7 @@ Levenshtein aggregation are implemented here.
 from __future__ import annotations
 
 import re
+import unicodedata
 from typing import List, Sequence
 
 # ---------------------------------------------------------------------------
@@ -108,22 +122,14 @@ _ABBREVIATIONS = [
 _NUMBER_RE = re.compile(r"[0-9]+")
 _ABBREV_RES = [(re.compile(rf"\b{a}\.", re.IGNORECASE), b) for a, b in _ABBREVIATIONS]
 
-_CONTRACTIONS = [
-    (re.compile(r"won't\b"), "will not"),
-    (re.compile(r"can't\b"), "can not"),
-    (re.compile(r"let's\b"), "let us"),
-    (re.compile(r"n't\b"), " not"),
-    (re.compile(r"'ll\b"), " will"),
-    (re.compile(r"'ve\b"), " have"),
-    (re.compile(r"'re\b"), " are"),
-    (re.compile(r"'d\b"), " would"),
-    (re.compile(r"'m\b"), " am"),
-    (re.compile(r"it's\b"), "it is"),
-    (re.compile(r"that's\b"), "that is"),
-]
-
 _KALDI_NONWORD_RE = re.compile(r"[<\[][^>\]]*[>\]]")
-_PUNCT_RE = re.compile(r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]")
+
+
+def remove_punctuation(text: str) -> str:
+    """jiwer.RemovePunctuation semantics: delete every Unicode category-P
+    character (apostrophes, brackets, curly quotes, …) and nothing else —
+    ASCII symbols like ``$ + < = > ^ ` | ~`` are category S and survive."""
+    return "".join(c for c in text if not unicodedata.category(c).startswith("P"))
 
 
 def apply_substitutions(text: str) -> str:
@@ -134,21 +140,23 @@ def apply_substitutions(text: str) -> str:
 
 
 def wer_normalize(text: str) -> List[str]:
-    """misc.py:36-48 pipeline -> list of words."""
+    """misc.py:36-48 pipeline (effective behavior) -> list of words."""
     text = text.lower()
     text = apply_substitutions(text)
-    for rx, repl in _CONTRACTIONS:
-        text = rx.sub(repl, text)
-    text = _KALDI_NONWORD_RE.sub("", text)
-    text = _PUNCT_RE.sub("", text)
+    text = remove_punctuation(text)
+    # jiwer.ExpandCommonEnglishContractions runs at this point in the
+    # reference (misc.py:43), but every one of its patterns contains an
+    # apostrophe that RemovePunctuation has already deleted — a no-op we
+    # replicate by not expanding contractions at all (module docstring, #1).
+    text = _KALDI_NONWORD_RE.sub("", text)  # only <...> forms can still match
     text = re.sub(r"\s+", " ", text).strip()
-    return text.split() if text else []
+    return text.split(" ") if text else []
 
 def cer_normalize(text: str) -> List[str]:
-    """misc.py:50-58 pipeline -> list of chars."""
+    """misc.py:50-58 pipeline -> list of chars (no whitespace collapsing)."""
     text = text.lower()
     text = apply_substitutions(text)
-    text = _PUNCT_RE.sub("", text)
+    text = remove_punctuation(text)
     return list(text.strip())
 
 

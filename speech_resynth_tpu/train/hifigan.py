@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.precision import Policy, DEFAULT
 from ..dsp.mel import log_mel_spectrogram
+from .common import make_optimizer
 from ..models.hifigan import (
     HifiGanConfig,
     HifiGanGenerator,
@@ -103,8 +104,15 @@ def make_gan_trainer(
     (gen, mpd, msd), (gen_vars, mpd_vars, msd_vars) = build_models(config, trainer, policy, trainer.seed)
 
     schedule = epoch_exponential_schedule(trainer.learning_rate, trainer.lr_decay, trainer.steps_per_epoch)
-    gen_tx = optax.adamw(schedule, b1=trainer.adam_b1, b2=trainer.adam_b2)
-    disc_tx = optax.adamw(schedule, b1=trainer.adam_b1, b2=trainer.adam_b2)
+    # torch.optim.AdamW defaults (reference hifigan/train.py:70-75 passes only
+    # lr/betas): weight_decay 0.01, eps 1e-8, and NO gradient clipping.  Routed
+    # through make_optimizer so optimizer parity lives in one place.
+    gen_tx = make_optimizer(
+        schedule, b1=trainer.adam_b1, b2=trainer.adam_b2, eps=1e-8, max_norm=None, weight_decay=0.01
+    )
+    disc_tx = make_optimizer(
+        schedule, b1=trainer.adam_b1, b2=trainer.adam_b2, eps=1e-8, max_norm=None, weight_decay=0.01
+    )
 
     disc_params = {"mpd": mpd_vars["params"], "msd": msd_vars["params"]}
     disc_state = {"msd": msd_vars.get("spectral", {})}

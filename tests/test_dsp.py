@@ -150,3 +150,19 @@ def test_missing_audio_raises():
         audio_io.read("definitely_missing.flac")
     with pytest.raises(IOError):
         audio_io.read("definitely_missing.wav")
+
+
+def test_truncated_wav_fmt_chunk_rejected(tmp_path):
+    import struct
+
+    # fmt chunk declares 16 bytes but the file is cut short mid-chunk: the
+    # reader must fail cleanly instead of reading past the buffer.
+    body = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00" + b"\x00" * 26
+    p = tmp_path / "trunc.wav"
+    p.write_bytes(body[:28])  # ends 8 bytes into the 16-byte fmt body
+    from speech_resynth_tpu.dsp import audio_io
+
+    import pytest
+
+    with pytest.raises(IOError):
+        audio_io.read(p)

@@ -104,3 +104,50 @@ def test_composite_save_and_load(tmp_path):
     w2, l2 = dec2.synthesize(ids, dt=0.5, rng=jax.random.key(7))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5, atol=1e-6)
+
+
+def test_composite_normalize_before_buffers_roundtrip(tmp_path):
+    # normalize_before=True vocoders carry mean/scale buffers (HF config
+    # default); export must persist the real stats and from_pretrained must
+    # thread them back into the buffers collection.
+    cfm_cfg = CFMConfig(
+        vocab_size=9,
+        dim_in=8,
+        dim_cond_emb=12,
+        hidden_size=16,
+        depth=2,
+        heads=2,
+        intermediate_size=24,
+        conv_pos_embed_kernel_size=7,
+        conv_pos_embed_groups=16,
+    )
+    voc_cfg = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=16,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        normalize_before=True,
+    )
+    dec = ConditionalFlowMatchingWithHifiGan.from_config(cfm_cfg, voc_cfg, policy=FLOAT32)
+    rng = np.random.default_rng(3)
+    dec.vocoder_variables["buffers"] = {
+        "mean": jnp.asarray(rng.normal(size=(8,)), jnp.float32),
+        "scale": jnp.asarray(rng.uniform(0.5, 2.0, size=(8,)), jnp.float32),
+    }
+    E.save_composite_pretrained(
+        tmp_path / "composite_nb", dec.model_variables, cfm_cfg, dec.vocoder_variables, voc_cfg
+    )
+
+    dec2 = ConditionalFlowMatchingWithHifiGan.from_pretrained(tmp_path / "composite_nb", policy=FLOAT32)
+    np.testing.assert_allclose(
+        np.asarray(dec2.vocoder_variables["buffers"]["mean"]),
+        np.asarray(dec.vocoder_variables["buffers"]["mean"]),
+        rtol=1e-6,
+    )
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 10, (1, 6)), jnp.int32)
+    w1, l1 = dec.synthesize(ids, dt=0.5, rng=jax.random.key(7))
+    w2, l2 = dec2.synthesize(ids, dt=0.5, rng=jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5, atol=1e-6)

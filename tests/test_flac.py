@@ -193,3 +193,22 @@ def test_corrupt_flac(tmp_path):
     p.write_bytes(b"fLaC" + b"\x00" * 10)
     with pytest.raises(IOError):
         audio_io.read(p)
+
+
+def test_truncated_flac_streaminfo_rejected(tmp_path):
+    # STREAMINFO header declares 34 bytes but the file ends early: must be
+    # rejected cleanly, not read past the buffer.
+    p = tmp_path / "trunc.flac"
+    p.write_bytes(b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 10)
+    with pytest.raises(IOError):
+        audio_io.read(p)
+
+
+def test_flac_trailing_junk_tolerated(tmp_path):
+    pcm = rand_pcm(600, seed=5)
+    data = encode_flac([pcm], subframe="fixed1") + b"ID3trailing-garbage-bytes" * 4
+    p = tmp_path / "junk.flac"
+    p.write_bytes(data)
+    y, sr = audio_io.read(p)
+    assert y.shape[0] == 600
+    np.testing.assert_allclose(y[:, 0] if y.ndim == 2 else y, pcm / 32768.0, atol=1e-7)

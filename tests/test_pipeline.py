@@ -258,3 +258,50 @@ def test_cli_dispatch_unknown_stage():
 
     with pytest.raises(SystemExit):
         run_stage("bogus", None)
+
+
+def test_global_batch_plan_multihost_consistency():
+    """ADVICE r1: every host must see the same number of steps per epoch
+    (len(dataset)//global_batch), drawing global_batch/P local examples per
+    step, with each global batch exactly partitioned across hosts."""
+    from speech_resynth_tpu.pipeline.data import _global_batch_plan
+
+    n, global_batch, P = 37, 8, 4
+    per_host = [
+        list(_global_batch_plan(n, global_batch, True, seed=3, epoch=2, drop_last=True,
+                                process_index=p, process_count=P))
+        for p in range(P)
+    ]
+    expected_steps = n // global_batch
+    assert all(len(plans) == expected_steps for plans in per_host)
+    for b in range(expected_steps):
+        gidx = per_host[0][b][0]
+        # all hosts agree on the global batch
+        for p in range(P):
+            np.testing.assert_array_equal(per_host[p][b][0], gidx)
+        # local slices partition it exactly, in order
+        concat = np.concatenate([per_host[p][b][1] for p in range(P)])
+        np.testing.assert_array_equal(concat, gidx)
+        assert all(len(per_host[p][b][1]) == global_batch // P for p in range(P))
+
+    # indivisible global batch is an explicit error, not silent desync
+    import pytest
+
+    with pytest.raises(ValueError):
+        next(_global_batch_plan(16, 6, True, 0, 0, True, 0, 4))
+
+
+def test_unit_text_dataset_multihost_batches(tmp_path):
+    from speech_resynth_tpu.pipeline.data import UnitTextDataset
+
+    train_file = tmp_path / "t.txt"
+    with open(train_file, "w") as f:
+        for i in range(20):
+            f.write(" ".join(str((i + j) % 9) for j in range(12)) + "\n")
+    ds = UnitTextDataset(train_file, units_per_sample=8)
+    # two hosts, global batch 4 -> each yields 2 rows per step, 5 steps
+    b0 = list(ds.batches(4, seed=1, epoch=0, process_index=0, process_count=2))
+    b1 = list(ds.batches(4, seed=1, epoch=0, process_index=1, process_count=2))
+    assert len(b0) == len(b1) == 5
+    for a, b in zip(b0, b1):
+        assert a["input_ids"].shape == b["input_ids"].shape == (2, 8)

@@ -74,8 +74,27 @@ def test_reference_number_special_cases():
 
 
 def test_abbreviations_and_contractions():
-    assert wer_normalize("Dr. Smith won't go") == ["doctor", "smith", "will", "not", "go"]
+    # jiwer effective order (reference misc.py:42-49): RemovePunctuation strips
+    # apostrophes BEFORE ExpandCommonEnglishContractions, so contractions are
+    # never expanded — "won't" -> "wont", "don't" -> "dont".
+    assert wer_normalize("Dr. Smith won't go") == ["doctor", "smith", "wont", "go"]
+    assert wer_normalize("I don't know, it's fine") == ["i", "dont", "know", "its", "fine"]
     assert wer_normalize("Mr. Jones") == ["mister", "jones"]
+
+
+def test_unicode_punctuation_and_symbols():
+    # Unicode category-P chars are removed (incl. curly apostrophe U+2019);
+    # category-S symbols like < > $ survive RemovePunctuation.
+    assert wer_normalize("don’t “stop”") == ["dont", "stop"]
+    # <...> is removed by RemoveKaldiNonWords (angle brackets are category S),
+    # but [...] already lost its brackets to RemovePunctuation and survives.
+    assert wer_normalize("a <noise> b [laughter] c") == ["a", "b", "laughter", "c"]
+    from speech_resynth_tpu.text.normalize import cer_normalize
+
+    # CER pipeline: no whitespace collapsing (misc.py:50-58 has no
+    # RemoveWhiteSpace/RemoveMultipleSpaces), strip only at the ends.
+    assert cer_normalize(" a  b ") == list("a  b")
+    assert cer_normalize("don't") == list("dont")
 
 
 # -- wer/cer -----------------------------------------------------------------
