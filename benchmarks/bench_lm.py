@@ -20,6 +20,7 @@ import numpy as np
 
 def main():
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
+    from speech_resynth_tpu.models.convert import stack_llama_layers
     from speech_resynth_tpu.models.llama import LlamaConfig, LlamaLM, greedy_decode, sequence_pseudo_log_prob
 
     cfg = LlamaConfig()
@@ -36,13 +37,34 @@ def main():
         logits, _ = model.apply({"params": params}, ids)
         return sequence_pseudo_log_prob(logits, ids)
 
+    t0 = time.perf_counter()
+    unrolled_warm = score(variables["params"], ids)
+    np.asarray(unrolled_warm)  # warmup; device_get forces real sync on axon
+    unrolled_compile_s = time.perf_counter() - t0
+
     score = lambda ids, _f=score, _p=variables["params"]: _f(_p, ids)
-    np.asarray(score(ids))  # warmup; device_get forces real sync on axon
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         s = np.asarray(score(ids))
     scoring_tps = iters * B * L / (time.perf_counter() - t0)
+
+    # scan-over-layers variant: one traced layer body -> compile-time delta
+    scan_model = LlamaLM(cfg, policy=BF16_INFERENCE, scan_layers=True)
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_llama_layers(variables["params"]))
+
+    @jax.jit
+    def score_scan(params, ids):
+        logits, _ = scan_model.apply({"params": params}, ids)
+        return sequence_pseudo_log_prob(logits, ids)
+
+    t0 = time.perf_counter()
+    np.asarray(score_scan(stacked, ids))
+    scan_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(score_scan(stacked, ids))
+    scan_tps = iters * B * L / (time.perf_counter() - t0)
 
     # decode: 32-token prompt, 96 new tokens, batch 16
     prompt = ids[:16, :32]
@@ -59,6 +81,9 @@ def main():
                 "value": round(scoring_tps, 0),
                 "unit": "tokens/s",
                 "decode_tokens_per_sec": round(decode_tps, 0),
+                "scan_layers_tokens_per_sec": round(scan_tps, 0),
+                "compile_s_unrolled": round(unrolled_compile_s, 1),
+                "compile_s_scan_layers": round(scan_compile_s, 1),
                 "vs_baseline": None,
             }
         )

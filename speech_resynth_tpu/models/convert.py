@@ -171,6 +171,36 @@ def llama_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     return params
 
 
+def stack_llama_layers(params: Mapping) -> Dict:
+    """Unrolled ``layers_{i}`` layout -> scan layout (one ``layers`` subtree
+    with a leading layer axis).  Same checkpoints serve both
+    ``LlamaLM(scan_layers=...)`` settings."""
+    import numpy as np
+
+    n = 0
+    while f"layers_{n}" in params:
+        n += 1
+    import jax
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *[params[f"layers_{i}"] for i in range(n)])
+    out = {k: v for k, v in params.items() if not k.startswith("layers_")}
+    out["layers"] = stacked
+    return out
+
+
+def unstack_llama_layers(params: Mapping) -> Dict:
+    """Scan layout -> unrolled ``layers_{i}`` layout."""
+    import jax
+    import numpy as np
+
+    out = {k: v for k, v in params.items() if k != "layers"}
+    stacked = params["layers"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        out[f"layers_{i}"] = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], stacked)
+    return out
+
+
 def hubert_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     """HF HubertModel state_dict -> our HubertEncoder params.
 

@@ -224,19 +224,24 @@ def generator_apply_fused(
     config: HifiGanConfig,
     spectrogram: jax.Array,
     compute_dtype=jnp.bfloat16,
-    fused_max_channels: int = 64,
     force_fused: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Inference-path generator forward with Pallas-fused MRF stages.
 
     Pure function over the standard ``HifiGanGenerator`` param tree (same
-    checkpoints).  Stages with <= ``fused_max_channels`` channels — where
-    XLA's NWC convs waste MXU lanes — run the fused (C, T)-layout branch
-    kernel (ops/fused_mrf.py); wide stages use the stacked lax reference.
+    checkpoints).  Per-branch dispatch is measurement-driven, and the
+    *in-context* A/B on the whole vocoder is what decides (PARITY.md):
+    standalone, the fused (C, T)-layout kernel wins every K=3 branch
+    3.3-7.4x — but inside the jitted vocoder XLA fuses those branches with
+    their neighbors and the standalone win evaporates; the full-vocoder A/B
+    (xla-only 21.3 ms, C<=64 gate 17.1 ms, K==3-everywhere gate 20.2 ms,
+    all-pallas 18.0 ms) keeps the C<=64 gate as the winner.  Wide stages
+    fall back to XLA *by measurement*, not by VMEM necessity —
+    ops/fused_mrf.py:pick_t_blk fits them when asked.
     Numerics match ``HifiGanGenerator.apply`` (tests/test_fused_mrf.py).
     """
-    from ..ops.fused_mrf import mrf_branch_pallas, mrf_branch_reference
+    from ..ops.fused_mrf import fused_branch_fits, mrf_branch_pallas, mrf_branch_reference
 
     cfg = config
     cd = compute_dtype
@@ -260,7 +265,12 @@ def generator_apply_fused(
             b1 = jnp.stack([bp[f"convs1_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
             w2 = jnp.stack([bp[f"convs2_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
             b2 = jnp.stack([bp[f"convs2_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
-            if use_pallas_backend and channels <= fused_max_channels:
+            profitable = channels <= 64  # in-context vocoder A/B, PARITY.md
+            if (
+                use_pallas_backend
+                and profitable
+                and fused_branch_fits(channels, rk, n_pairs, tuple(rd), x.dtype.itemsize)
+            ):
                 out = mrf_branch_pallas(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope, interpret=interpret)
             else:
                 out = mrf_branch_reference(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope)

@@ -135,9 +135,17 @@ class LlamaLayer(nn.Module):
 
 
 class LlamaLM(nn.Module):
+    """``scan_layers=True`` compiles ONE layer body via ``nn.scan`` instead of
+    unrolling num_hidden_layers copies into the HLO — full-size (12L) compile
+    drops accordingly (PARITY.md round-1 deferral).  Param layout differs:
+    a single ``layers`` collection with a leading layer axis instead of
+    ``layers_{i}`` subtrees; convert.stack_llama_layers/unstack_llama_layers
+    translate, so both layouts load the same checkpoints."""
+
     config: LlamaConfig
     policy: Policy = DEFAULT
     attn_implementation: str = "auto"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -169,6 +177,34 @@ class LlamaLM(nn.Module):
 
         mask = attention_mask.astype(bool) if attention_mask is not None else None
 
+        if self.scan_layers:
+            # one traced layer body; params carry a leading layer axis.
+            # cache (if any) is a single dict stacked on axis 0.
+            def body(layer, carry, layer_cache):
+                y, new_c = layer(carry, rope, mask, layer_cache, cache_index)
+                return y, new_c
+
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.num_hidden_layers,
+            )
+            x, stacked_cache = scanned(
+                LlamaLayer(cfg, self.policy, self.attn_implementation, name="layers"), x, cache
+            )
+            x = LlamaRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.policy, name="final_norm")(x)
+            logits = nn.Dense(
+                cfg.vocab_size,
+                use_bias=False,
+                param_dtype=self.policy.param_dtype,
+                dtype=jnp.float32,
+                name="lm_head",
+            )(x)
+            return logits, (stacked_cache if cache is not None else None)
+
         new_caches = []
         for i in range(cfg.num_hidden_layers):
             layer_cache = cache[i] if cache is not None else None
@@ -190,6 +226,12 @@ class LlamaLM(nn.Module):
     def init_cache(self, batch_size: int, max_len: int):
         cfg = self.config
         shape = (batch_size, cfg.num_attention_heads, max_len, cfg.head_dim)
+        if self.scan_layers:
+            stacked = (cfg.num_hidden_layers,) + shape
+            return {
+                "k": jnp.zeros(stacked, self.policy.compute_dtype),
+                "v": jnp.zeros(stacked, self.policy.compute_dtype),
+            }
         one = lambda: {"k": jnp.zeros(shape, self.policy.compute_dtype), "v": jnp.zeros(shape, self.policy.compute_dtype)}
         return tuple(one() for _ in range(cfg.num_hidden_layers))
 

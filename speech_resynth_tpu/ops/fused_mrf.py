@@ -129,6 +129,31 @@ def _mrf_kernel(
     o_ref[0] = x_buf[:, pl.ds(halo, t_blk)].astype(o_ref.dtype)
 
 
+VMEM_BUDGET = 12 * 2**20  # conservative slice of the ~16 MB per-core VMEM
+
+
+def _branch_vmem_bytes(C: int, K: int, n_pairs: int, width: int, itemsize: int) -> int:
+    """Rough VMEM footprint of one kernel invocation."""
+    weights = 2 * n_pairs * K * C * C * itemsize + 2 * n_pairs * C * 4
+    scratch = 2 * C * width * 4  # two f32 (C, width) buffers
+    blocks = C * width * itemsize * 2 + C * width * itemsize  # in (dbl-buffered) + out
+    return weights + scratch + blocks
+
+
+def pick_t_blk(C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int) -> int:
+    """Largest 128-multiple time block (<=1024) whose invocation fits VMEM;
+    0 if even the minimum block does not fit (caller falls back to XLA)."""
+    halo = -(-branch_halo(K, dilations) // 64) * 64
+    for t_blk in (1024, 768, 512, 384, 256, 128):
+        if _branch_vmem_bytes(C, K, n_pairs, t_blk + 2 * halo, itemsize) <= VMEM_BUDGET:
+            return t_blk
+    return 0
+
+
+def fused_branch_fits(C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int = 2) -> bool:
+    return pick_t_blk(C, K, n_pairs, dilations, itemsize) > 0
+
+
 def mrf_branch_pallas(
     x: jax.Array,  # (B, T, C)
     w1: jax.Array,  # (n_pairs, K, C, C) in WIO-per-pair converted to (pairs, K, C_out, C_in)
@@ -137,12 +162,16 @@ def mrf_branch_pallas(
     b2: jax.Array,
     dilations: Tuple[int, ...],
     slope: float = LRELU_SLOPE,
-    t_blk: int = 1024,
+    t_blk: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused branch in (C, T)-layout Pallas; input/output stay NWC."""
     B, T, C = x.shape
     K = w1.shape[1]
+    if t_blk is None:
+        t_blk = pick_t_blk(C, K, w1.shape[0], dilations, x.dtype.itemsize)
+        if t_blk == 0:
+            raise ValueError(f"fused MRF branch (C={C}, K={K}) does not fit VMEM")
     # round the halo up so the window width (t_blk + 2*halo) stays a
     # 128-multiple — Mosaic requires lane-dim blocks divisible by 128
     halo = -(-branch_halo(K, dilations) // 64) * 64

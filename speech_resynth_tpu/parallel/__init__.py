@@ -25,13 +25,14 @@ from ..core.mesh import (
     replicated,
     shard_batch,
 )
-from ..train.speechlm import param_shardings as tensor_parallel_rules
+from .sharding import fsdp_rules, tensor_parallel_rules
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "data_sharded",
     "distributed_init",
+    "fsdp_rules",
     "local_batch_slice",
     "make_mesh",
     "replicate",

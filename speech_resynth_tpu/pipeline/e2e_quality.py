@@ -1,0 +1,342 @@
+"""End-to-end trained-quality run: GAN + CFM + LM on a synthetic corpus.
+
+VERDICT r1 #2: demonstrate that the three training loops actually produce
+quality, not just decreasing losses — the reference's only QA mechanism is
+end-to-end metric evaluation (SURVEY.md §4).  This module trains all three
+stacks on controlled synthetic corpora through the REAL pipeline loops
+(pipeline/train_loops.py, exactly what the CLI stages call) and measures:
+
+* HiFi-GAN: mel-L1 of re-vocoded audio on held-out utterances, vs the
+  untrained generator;
+* CFM: mel-L1 of ODE-sampled mels against ground truth for held-out unit
+  sequences, vs the untrained model;
+* full resynthesis (units → CFM → vocoder → wav): log-mel spectral distance
+  of the resynthesized audio vs the source audio;
+* speech LM: native minimal-pair accuracy (sWUGGY-analog) on a held-out
+  constructed set.
+
+``scale="ci"`` keeps the run minutes-long on the 1-core CPU host;
+``scale="chip"`` is the fuller on-chip configuration (scripts/e2e_quality_run.py).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import config_from_dict
+from ..dsp.mel import log_mel_spectrogram
+from .synthetic import HOP, N_FFT, make_formant_corpus, make_unit_grammar_corpus
+
+SCALES = {
+    # CI: learning *evidence* on the 1-core CPU host (full-width MPD/MSD
+    # discriminators cost ~10-20 s/GAN-step there, so convergence is the
+    # chip run's job — see E2E_QUALITY.md for the converged numbers)
+    "ci": dict(
+        n_train=32, n_eval=6, gan_channels=32, gan_epochs=2, gan_batch=2, frames_per_seg=8,
+        cfm_hidden=32, cfm_epochs=40, cfm_batch=8,
+        lm_hidden=64, lm_layers=2, lm_epochs=3, lm_batch=16, lm_sentences=2000,
+    ),
+    "chip": dict(
+        n_train=192, n_eval=16, gan_channels=128, gan_epochs=150, gan_batch=16, frames_per_seg=16,
+        cfm_hidden=64, cfm_epochs=150, cfm_batch=16,
+        lm_hidden=128, lm_layers=4, lm_epochs=4, lm_batch=32, lm_sentences=8000,
+    ),
+}
+
+N_UNITS = 8
+
+
+def _gan_config(tmp: Path, corpus, p) -> dict:
+    return config_from_dict(
+        {
+            "dataset": {
+                "wav_dir": str(corpus["wav_dir"]),
+                "spectrogram_dir": str(corpus["spec_dir"]),
+                "train_file": str(corpus["train_file"]),
+                "ext_audio": ".wav",
+            },
+            "hifigan": {
+                "path": str(tmp / "hifigan"),
+                "batch_size": p["gan_batch"],
+                "segment_size": (p["frames_per_seg"] - 1) * HOP + N_FFT,
+                "training_epochs": p["gan_epochs"],
+                "learning_rate": 2e-4,
+                "adam_b1": 0.8,
+                "adam_b2": 0.99,
+                "lr_decay": 0.999,
+                "seed": 1234,
+                "n_fft": N_FFT,
+                "hop_size": HOP,
+                "upsample_rates": [5, 4, 4, 2, 2],
+                "upsample_kernel_sizes": [10, 9, 8, 4, 4],
+                "upsample_initial_channel": p["gan_channels"],
+                "resblock_kernel_sizes": [3, 7],
+                "resblock_dilation_sizes": [[1, 3], [1, 3]],
+                "stdout_interval": 1000,
+                "summary_interval": 50,
+                "checkpoint_interval": 10**9,  # export happens at end-of-run
+                "validation_interval": 10**9,
+            },
+        }
+    )
+
+
+def _cfm_config(tmp: Path, corpus, p) -> dict:
+    return config_from_dict(
+        {
+            "common": {"seed": 0},
+            "dataset": {
+                "wav_dir": str(corpus["wav_dir"]),
+                "spectrogram_dir": str(corpus["spec_dir"]),
+                "ext_audio": ".wav",
+                "train_file": str(corpus["train_file"]),
+                "dev_file": str(tmp / "missing_dev.json"),
+            },
+            "flow_matching": {
+                "path": str(tmp / "cfm"),
+                "batch_size": p["cfm_batch"],
+                "frames_per_seg": p["frames_per_seg"],
+                "epoch": p["cfm_epochs"],
+                "warmup_steps": 20,
+                "lr": 2e-3,
+                "lr_min": 2e-4,
+                "max_norm": 0.1,
+                "summary_interval": 50,
+                "save_interval_epoch": p["cfm_epochs"],
+                "dt": 0.125,
+                "truncation_value": 1.0,
+                "dense_model_name": "_e2e_formant",  # registered below
+                "quantizer_model_name": "kmeans",
+                "vocab_size": N_UNITS,
+                "dim_in": 80,
+                "dim_cond_emb": 32,
+                "hidden_size": p["cfm_hidden"],
+                "depth": 2,
+                "heads": 2,
+                "intermediate_size": 2 * p["cfm_hidden"],
+                "ff_dropout": 0.0,
+                "use_unet_skip_connection": False,
+                "conv_pos_embed_kernel_size": 15,
+                "conv_pos_embed_groups": p["cfm_hidden"],
+                "attn_dropout": 0.0,
+                "mean": -5.8843,
+                "std": 2.2615,
+                "predict_duration": False,
+            },
+        }
+    )
+
+
+def _register_tiny_encoder():
+    """The CFM loop needs a registered encoder only for the frozen embedding
+    table geometry; quality here is measured on ground-truth units."""
+    from ..models import speech_encoder as SE
+    from ..models.hubert import HubertConfig
+
+    SE.DENSE_MODELS["_e2e_formant"] = {
+        "config": HubertConfig(
+            hidden_size=32,
+            num_hidden_layers=1,
+            num_attention_heads=2,
+            intermediate_size=48,
+            conv_dim=(16, 16),
+            conv_kernel=(10, 4),
+            conv_stride=(5, 4),
+            num_conv_pos_embeddings=8,
+            num_conv_pos_embedding_groups=2,
+        ),
+        "output_layer": 1,
+    }
+
+
+def _mel_l1(a: np.ndarray, b: np.ndarray) -> float:
+    n = min(a.shape[0], b.shape[0])
+    return float(np.mean(np.abs(a[:n] - b[:n])))
+
+
+EVAL_PAD_FRAMES = 48  # eval utterances padded to ONE static shape (one compile)
+
+
+def _eval_vocoder(gen, variables, eval_names, spec_dir) -> float:
+    """mel-L1 between mel(G(mel)) and mel over held-out utterances (padded
+    to a single static shape so the tunneled chip compiles once)."""
+    errs = []
+    for name in eval_names:
+        mel = np.load(spec_dir / (name + ".npy")).astype(np.float32)
+        T = mel.shape[0]
+        padded = np.pad(mel, ((0, EVAL_PAD_FRAMES - T), (0, 0)), constant_values=np.log(1e-5))
+        wav = np.asarray(gen.apply(variables, jnp.asarray(padded[None])))[0]
+        mel_hat = np.asarray(log_mel_spectrogram(wav[None], n_fft=N_FFT, hop_size=HOP))[0]
+        errs.append(_mel_l1(mel_hat[:T], mel))
+    return float(np.mean(errs))
+
+
+def run_e2e_quality(workdir: str | Path, scale: str = "ci") -> Dict:
+    from ..core.precision import FLOAT32
+    from ..models.cfm import CFMConfig, ConditionalFlowMatchingModel
+    from ..models.convert import cfm_model_params, hifigan_generator_params
+    from ..models.hifigan import HifiGanConfig, HifiGanGenerator
+    from .train_loops import train_flow_matching, train_hifigan, train_speechlm
+
+    p = SCALES[scale]
+    tmp = Path(workdir)
+    tmp.mkdir(parents=True, exist_ok=True)
+    results: Dict = {"scale": scale}
+
+    train_corpus = make_formant_corpus(tmp / "train_corpus", n_utts=p["n_train"], n_units=N_UNITS, seed=0)
+    eval_corpus = make_formant_corpus(tmp / "eval_corpus", n_utts=p["n_eval"], n_units=N_UNITS, seed=99)
+    eval_ds = json.loads(Path(eval_corpus["train_file"]).read_text())
+    eval_names = sorted(eval_ds.keys())
+
+    # ---- HiFi-GAN --------------------------------------------------------
+    gan_cfg = _gan_config(tmp, train_corpus, p)
+    voc_config = HifiGanConfig(
+        upsample_initial_channel=p["gan_channels"],
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    gen = HifiGanGenerator(voc_config, policy=FLOAT32)
+    untrained = gen.init(jax.random.key(0), jnp.zeros((1, 8, 80)))
+    results["gan_mel_l1_untrained"] = _eval_vocoder(gen, untrained, eval_names, eval_corpus["spec_dir"])
+
+    train_hifigan(gan_cfg)
+
+    from safetensors.numpy import load_file
+
+    voc_sd = load_file(str(Path(gan_cfg.hifigan.path) / "model.safetensors"))
+    voc_vars = {"params": jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(voc_sd))}
+    results["gan_mel_l1_trained"] = _eval_vocoder(gen, voc_vars, eval_names, eval_corpus["spec_dir"])
+
+    # ---- CFM -------------------------------------------------------------
+    _register_tiny_encoder()
+    cfm_cfg = _cfm_config(tmp, train_corpus, p)
+    train_flow_matching(cfm_cfg)
+
+    model_config = CFMConfig(
+        vocab_size=N_UNITS,
+        dim_cond_emb=32,
+        hidden_size=p["cfm_hidden"],
+        depth=2,
+        heads=2,
+        intermediate_size=2 * p["cfm_hidden"],
+        conv_pos_embed_kernel_size=15,
+        conv_pos_embed_groups=p["cfm_hidden"],
+    )
+    model = ConditionalFlowMatchingModel(model_config, policy=FLOAT32)
+    cfm_sd = load_file(str(Path(cfm_cfg.flow_matching.path) / "hf" / "model.safetensors"))
+    cfm_vars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(cfm_sd))
+    untrained_vars = model.init(
+        {"params": jax.random.key(1)},
+        jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 4, 80)),
+        jnp.ones((1, 4), jnp.int32),
+        rng=jax.random.key(2),
+    )
+
+    def cfm_eval(variables) -> float:
+        errs = []
+        for name in eval_names:
+            ids = np.asarray(eval_ds[name]["units"], np.int32) + 1
+            T = len(ids)
+            ids = np.pad(ids, (0, EVAL_PAD_FRAMES - T))  # pad id 0 -> masked frames
+            mel_gt = np.load(eval_corpus["spec_dir"] / (name + ".npy")).astype(np.float32)
+            mel_hat, _ = model.apply(
+                variables, jnp.asarray(ids[None]), dt=0.125, truncation_value=1.0, rng=jax.random.key(5), method="sample"
+            )
+            errs.append(_mel_l1(np.asarray(mel_hat)[0, :T], mel_gt))
+        return float(np.mean(errs))
+
+    results["cfm_mel_l1_untrained"] = cfm_eval(untrained_vars)
+    results["cfm_mel_l1_trained"] = cfm_eval(cfm_vars)
+
+    # ---- full resynthesis: units -> CFM mel -> vocoder -> wav ------------
+    dists = []
+    for name in eval_names:
+        ids = np.asarray(eval_ds[name]["units"], np.int32) + 1
+        T = len(ids)
+        ids = np.pad(ids, (0, EVAL_PAD_FRAMES - T))
+        mel_gt = np.load(eval_corpus["spec_dir"] / (name + ".npy")).astype(np.float32)
+        mel_hat, _ = model.apply(
+            cfm_vars, jnp.asarray(ids[None]), dt=0.125, truncation_value=1.0, rng=jax.random.key(6), method="sample"
+        )
+        wav = np.asarray(gen.apply(voc_vars, mel_hat))[0]
+        mel_resynth = np.asarray(log_mel_spectrogram(wav[None], n_fft=N_FFT, hop_size=HOP))[0]
+        dists.append(_mel_l1(mel_resynth[:T], mel_gt))
+    results["resynth_mel_l1"] = float(np.mean(dists))
+
+    # ---- speech LM: minimal-pair accuracy --------------------------------
+    grammar = make_unit_grammar_corpus(tmp / "lm_corpus", n_sentences=p["lm_sentences"], seed=0)
+    lm_cfg = config_from_dict(
+        {
+            "model": {
+                "path": str(tmp / "lm"),
+                "vocab_size": 10,
+                "hidden_size": p["lm_hidden"],
+                "intermediate_size": 4 * p["lm_hidden"],
+                "num_hidden_layers": p["lm_layers"],
+                "num_attention_heads": 2,
+                "pad_token_id": 0,
+                "eos_token_id": 1,
+            },
+            "dataset": {
+                "train_file": str(grammar["train_file"]),
+                "units_per_sample": 16,
+                "result_dir": str(tmp / "lm_results"),
+                "swuggy_dev_file": str(tmp / "missing.json"),
+                "sblimp_dev_file": str(tmp / "missing.json"),
+            },
+            "dataloader": {"batch_size_per_device": max(p["lm_batch"] // jax.device_count(), 1)},
+            "optim": {
+                "epoch": p["lm_epochs"],
+                "warmup_steps": 20,
+                "lr": 2e-3,
+                "lr_min": 2e-4,
+                "beta1": 0.9,
+                "beta2": 0.98,
+                "max_norm": 1.0,
+                "summary_interval": 100,
+            },
+        }
+    )
+    train_speechlm(lm_cfg)
+
+    # restore the trained state and score the minimal pairs natively
+    from ..core.checkpoint import CheckpointManager
+    from ..core.mesh import make_mesh
+    from ..train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
+    from ..models.llama import LlamaConfig
+    from .speechlm import write_scores
+
+    model_config_lm = LlamaConfig(
+        vocab_size=12,
+        hidden_size=p["lm_hidden"],
+        intermediate_size=4 * p["lm_hidden"],
+        num_hidden_layers=p["lm_layers"],
+        num_attention_heads=2,
+        pad_token_id=0,
+        eos_token_id=1,
+    )
+    trainer_config = SpeechLMTrainerConfig(batch_size_per_device=1, units_per_sample=16)
+    lm, state, _, _ = make_speechlm_trainer(model_config_lm, trainer_config, make_mesh(), total_steps=10)
+    with CheckpointManager(Path(lm_cfg.model.path) / "ckpt") as ckpt:
+        state = ckpt.restore(state)
+    scores_file = tmp / "pair_scores.txt"
+    write_scores(lm, {"params": state.params}, grammar["pairs_file"], scores_file, batch_size=16, num_special_tokens=2)
+    scores = {}
+    for line in scores_file.read_text().splitlines():
+        name, s = line.rsplit(" ", 1)
+        scores[name] = float(s)
+    n_pairs = sum(1 for k in scores if k.startswith("real_"))
+    wins = sum(1 for k in scores if k.startswith("real_") and scores[k] > scores["fake_" + k[5:]])
+    results["lm_pair_accuracy"] = wins / max(n_pairs, 1)
+    results["lm_pairs"] = n_pairs
+
+    with open(tmp / "E2E_QUALITY.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results

@@ -42,25 +42,9 @@ class SpeechLMTrainerConfig:
     seed: int = 0
 
 
-def param_shardings(mesh: Mesh, params) -> Any:
-    """TP layout over the model axis when it is >1: shard attention/MLP
-    Dense kernels on their output (or input, for down/o projections) dim;
-    replicate everything else.  With model=1 this degrades to pure DP."""
-    if mesh.shape[MODEL_AXIS] == 1:
-        return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
-
-    def spec_for(path, leaf):
-        names = [getattr(p, "key", str(p)) for p in path]
-        joined = "/".join(names)
-        if leaf.ndim == 2 and any(k in joined for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")):
-            return NamedSharding(mesh, P(None, MODEL_AXIS))  # column parallel
-        if leaf.ndim == 2 and any(k in joined for k in ("o_proj", "down_proj")):
-            return NamedSharding(mesh, P(MODEL_AXIS, None))  # row parallel
-        if leaf.ndim == 2 and ("embed_tokens" in joined or "lm_head" in joined):
-            return NamedSharding(mesh, P(None, MODEL_AXIS) if "lm_head" in joined else P(MODEL_AXIS, None))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+# TP layout lives with the rest of the parallelism logic; kept as
+# ``param_shardings`` here for backward compatibility.
+from ..parallel.sharding import tensor_parallel_rules as param_shardings  # noqa: E402
 
 
 def make_speechlm_trainer(

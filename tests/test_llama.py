@@ -125,3 +125,34 @@ def test_greedy_decode_runs_and_stops(models):
     seq = L.greedy_decode(model, variables, prompt, max_new_tokens=5, eos_token_id=cfg.eos_token_id)
     assert seq.shape == (1, 8)
     np.testing.assert_array_equal(np.asarray(seq[:, :3]), np.asarray(prompt))
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True (one traced layer body) must produce identical
+    logits and an equivalent KV cache to the unrolled module."""
+    from speech_resynth_tpu.models.convert import stack_llama_layers, unstack_llama_layers
+
+    cfg = tiny_cfg()
+    torch_model = hf_model(cfg)
+    params = llama_params(torch_model.state_dict())
+    stacked = jax.tree_util.tree_map(jnp.asarray, stack_llama_layers(params))
+
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, cfg.vocab_size, (2, 12)), jnp.int32)
+    attn = jnp.ones_like(ids)
+
+    base = L.LlamaLM(cfg, policy=FLOAT32, attn_implementation="xla")
+    scan = L.LlamaLM(cfg, policy=FLOAT32, attn_implementation="xla", scan_layers=True)
+    lg_a, _ = base.apply({"params": params}, ids, attn)
+    lg_b, _ = scan.apply({"params": stacked}, ids, attn)
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b), rtol=1e-5, atol=1e-5)
+
+    # roundtrip layout conversion
+    back = unstack_llama_layers(stacked)
+    lg_c, _ = base.apply({"params": back}, ids, attn)
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_c), rtol=1e-6, atol=1e-6)
+
+    # KV-cache prefill parity under scan
+    cache = scan.init_cache(2, 16)
+    lg_d, new_cache = scan.apply({"params": stacked}, ids, None, cache=cache, cache_index=jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(lg_d), np.asarray(lg_b), rtol=1e-4, atol=1e-4)
+    assert new_cache["k"].shape[0] == cfg.num_hidden_layers

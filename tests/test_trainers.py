@@ -121,3 +121,32 @@ def test_checkpoint_manager_roundtrip(tmp_path):
         restored = mgr2.restore(template)
         np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(4.0))
         assert int(restored["step"]) == 7
+
+
+def test_fsdp_rules_shard_and_run():
+    """fsdp_rules: large kernels sharded over data (and model when tp=True);
+    a jitted forward executes under the sharded layout."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from speech_resynth_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+    from speech_resynth_tpu.core.precision import FLOAT32
+    from speech_resynth_tpu.models.llama import LlamaConfig, LlamaLM
+    from speech_resynth_tpu.parallel import fsdp_rules
+
+    mesh = make_mesh(data=4, model=2)
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2, num_attention_heads=2
+    )
+    model = LlamaLM(cfg, policy=FLOAT32, attn_implementation="xla")
+    variables = model.init(jax.random.key(0), jnp.ones((1, 8), jnp.int32))
+
+    rules = fsdp_rules(mesh, variables["params"], min_size=1024, tp=True)
+    qspec = rules["layers_0"]["q_proj"]["kernel"].spec
+    assert MODEL_AXIS in qspec and DATA_AXIS in qspec  # TP + FSDP composed
+    assert rules["layers_0"]["input_norm"]["weight"].spec == P()  # small leaf replicated
+
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"], rules)
+    ids = jnp.ones((8, 8), jnp.int32)
+    logits, _ = jax.jit(lambda p, i: model.apply({"params": p}, i))(params, ids)
+    assert np.isfinite(np.asarray(logits)).all()
