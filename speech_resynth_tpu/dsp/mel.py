@@ -138,6 +138,35 @@ def log_mel_spectrogram(
     return dynamic_range_compression(mel)
 
 
+def whisper_log_mel(
+    y: jax.Array,
+    num_mels: int = 128,
+    n_fft: int = 400,
+    hop_size: int = 160,
+    sampling_rate: int = 16000,
+) -> jax.Array:
+    """Whisper's log-mel frontend: (..., T) -> (..., n_frames, num_mels).
+
+    Parity with openai-whisper ``log_mel_spectrogram`` / HF
+    WhisperFeatureExtractor: center=True reflect pad, power spectrogram with
+    the last frame dropped, Slaney filters, log10 clamp 1e-10, dynamic-range
+    floor at (max - 8), then (x + 4) / 4.  Same matmul-STFT formulation as
+    the HiFi-GAN frontend (module docstring).  num_mels: 80 (<= large-v2) or
+    128 (large-v3).
+    """
+    pad = n_fft // 2
+    widths = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+    y = jnp.pad(y.astype(jnp.float32), widths, mode="reflect")
+    mag = stft_magnitude(y, n_fft, hop_size)
+    power = (mag * mag)[..., :-1, :]  # whisper drops the last frame
+    fb = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, 0.0, sampling_rate / 2))
+    mel = power @ fb.T
+    log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
+    peak = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    log_spec = jnp.maximum(log_spec, peak - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
 def mel_spectrogram(y: jax.Array, **kwargs) -> jax.Array:
     """Reference-layout alias: (..., T) -> (..., num_mels, n_frames).
 

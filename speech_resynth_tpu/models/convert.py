@@ -274,3 +274,68 @@ def hubert_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
         i += 1
 
     return params
+
+
+def whisper_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """HF WhisperForConditionalGeneration state_dict -> our WhisperForASR
+    params (models/whisper.py).  Conv weights (O, I, K) -> (K, I, O); Dense
+    kernels transposed; flax LayerNorm uses scale/bias."""
+    sd = dict(state_dict)
+
+    def ln(prefix):
+        return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+    def attn(prefix):
+        out = {
+            "q_proj": {"kernel": dense_w(sd[f"{prefix}.q_proj.weight"]), "bias": _np(sd[f"{prefix}.q_proj.bias"])},
+            "k_proj": {"kernel": dense_w(sd[f"{prefix}.k_proj.weight"])},
+            "v_proj": {"kernel": dense_w(sd[f"{prefix}.v_proj.weight"]), "bias": _np(sd[f"{prefix}.v_proj.bias"])},
+            "out_proj": {"kernel": dense_w(sd[f"{prefix}.out_proj.weight"]), "bias": _np(sd[f"{prefix}.out_proj.bias"])},
+        }
+        return out
+
+    enc: Dict = {
+        "conv1_kernel": _np(sd["model.encoder.conv1.weight"]).transpose(2, 1, 0),
+        "conv1_bias": _np(sd["model.encoder.conv1.bias"]),
+        "conv2_kernel": _np(sd["model.encoder.conv2.weight"]).transpose(2, 1, 0),
+        "conv2_bias": _np(sd["model.encoder.conv2.bias"]),
+        "embed_positions": _np(sd["model.encoder.embed_positions.weight"]),
+        "layer_norm": ln("model.encoder.layer_norm"),
+    }
+    i = 0
+    while f"model.encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"model.encoder.layers.{i}"
+        enc[f"layers_{i}"] = {
+            "self_attn": attn(f"{p}.self_attn"),
+            "self_attn_layer_norm": ln(f"{p}.self_attn_layer_norm"),
+            "final_layer_norm": ln(f"{p}.final_layer_norm"),
+            "mlp": {
+                "fc1": {"kernel": dense_w(sd[f"{p}.fc1.weight"]), "bias": _np(sd[f"{p}.fc1.bias"])},
+                "fc2": {"kernel": dense_w(sd[f"{p}.fc2.weight"]), "bias": _np(sd[f"{p}.fc2.bias"])},
+            },
+        }
+        i += 1
+
+    dec: Dict = {
+        "embed_tokens": {"embedding": _np(sd["model.decoder.embed_tokens.weight"])},
+        "embed_positions": _np(sd["model.decoder.embed_positions.weight"]),
+        "layer_norm": ln("model.decoder.layer_norm"),
+        "proj_out": {"kernel": dense_w(sd["proj_out.weight"])},
+    }
+    i = 0
+    while f"model.decoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"model.decoder.layers.{i}"
+        dec[f"layers_{i}"] = {
+            "self_attn": attn(f"{p}.self_attn"),
+            "encoder_attn": attn(f"{p}.encoder_attn"),
+            "self_attn_layer_norm": ln(f"{p}.self_attn_layer_norm"),
+            "encoder_attn_layer_norm": ln(f"{p}.encoder_attn_layer_norm"),
+            "final_layer_norm": ln(f"{p}.final_layer_norm"),
+            "mlp": {
+                "fc1": {"kernel": dense_w(sd[f"{p}.fc1.weight"]), "bias": _np(sd[f"{p}.fc1.bias"])},
+                "fc2": {"kernel": dense_w(sd[f"{p}.fc2.weight"]), "bias": _np(sd[f"{p}.fc2.bias"])},
+            },
+        }
+        i += 1
+
+    return {"encoder": enc, "decoder": dec}

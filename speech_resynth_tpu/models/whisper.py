@@ -1,0 +1,369 @@
+"""Whisper encoder-decoder ASR, JAX/Flax native.
+
+The reference uses Whisper only as an external eval-time scorer
+(/root/reference/src/flow_matching/eval.py:34-48: HF pipeline
+``openai/whisper-large-v3`` for WER/CER).  Here the model is owned natively
+so ASR scoring runs on the TPU next to synthesis instead of a host-side
+torch subprocess: encoder (conv ×2 downsample + bidirectional transformer,
+d_head=64 → the Pallas flash kernel) and decoder (causal self-attention with
+a static KV cache + cross-attention with precomputed encoder K/V, greedy
+decode as one jitted program).
+
+Weight layout converts 1:1 from HF ``WhisperForConditionalGeneration``
+(models/convert.py:whisper_params); parity is tested against HF torch with
+shared random weights (tests/test_whisper.py).  The mel frontend is
+``dsp.mel.whisper_log_mel``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.precision import Policy, DEFAULT
+from ..ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    """Defaults = openai/whisper-large-v3 (HF config)."""
+
+    vocab_size: int = 51866
+    num_mel_bins: int = 128
+    d_model: int = 1280
+    encoder_layers: int = 32
+    encoder_attention_heads: int = 20
+    decoder_layers: int = 32
+    decoder_attention_heads: int = 20
+    encoder_ffn_dim: int = 5120
+    decoder_ffn_dim: int = 5120
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    decoder_start_token_id: int = 50258
+    eos_token_id: int = 50257
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.encoder_attention_heads
+
+
+def _sinusoids(length: int, channels: int) -> jnp.ndarray:
+    """openai-whisper sinusoid table (matches the stored HF buffer)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return jnp.asarray(np.concatenate([np.sin(t), np.cos(t)], axis=1), jnp.float32)
+
+
+class WhisperAttention(nn.Module):
+    """HF Whisper attention: q/v/out projections carry biases, k does not."""
+
+    d_model: int
+    heads: int
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    def setup(self):
+        dense = functools.partial(
+            nn.Dense, self.d_model, param_dtype=self.policy.param_dtype, dtype=self.policy.compute_dtype
+        )
+        self.q_proj = dense(use_bias=True, name="q_proj")
+        self.k_proj = dense(use_bias=False, name="k_proj")
+        self.v_proj = dense(use_bias=True, name="v_proj")
+        self.out_proj = dense(use_bias=True, name="out_proj")
+
+    def _split(self, x: jax.Array) -> jax.Array:
+        b, n, _ = x.shape
+        h = self.heads
+        return x.reshape(b, n, h, self.d_model // h).transpose(0, 2, 1, 3)
+
+    def kv_for(self, states: jax.Array) -> Dict[str, jax.Array]:
+        """K/V projections of given states (precomputed cross-attention)."""
+        return {"k": self._split(self.k_proj(states)), "v": self._split(self.v_proj(states))}
+
+    def __call__(
+        self,
+        x: jax.Array,
+        kv_states: Optional[jax.Array] = None,
+        causal: bool = False,
+        cache: Optional[Dict[str, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+        precomputed_kv: Optional[Dict[str, jax.Array]] = None,
+    ):
+        b, n, _ = x.shape
+        d = self.d_model // self.heads
+        q = self._split(self.q_proj(x))
+        if precomputed_kv is not None:
+            k, v = precomputed_kv["k"], precomputed_kv["v"]
+        else:
+            src = x if kv_states is None else kv_states
+            k = self._split(self.k_proj(src))
+            v = self._split(self.v_proj(src))
+
+        new_cache = None
+        if cache is not None:
+            k = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, cache_index, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, cache_index, 0))
+            new_cache = {"k": k, "v": v}
+            q_pos = cache_index + jnp.arange(n)
+            allowed = jnp.arange(k.shape[2])[None, :] <= q_pos[:, None]
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / (d**0.5)
+            s = jnp.where(allowed[None, None], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        else:
+            attn = dot_product_attention(q, k, v, causal=causal, implementation=self.attn_implementation)
+
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, self.d_model)
+        return self.out_proj(attn), new_cache
+
+
+class _Mlp(nn.Module):
+    d_model: int
+    ffn_dim: int
+    policy: Policy = DEFAULT
+
+    def setup(self):
+        dense = functools.partial(
+            nn.Dense, use_bias=True, param_dtype=self.policy.param_dtype, dtype=self.policy.compute_dtype
+        )
+        self.fc1 = dense(self.ffn_dim, name="fc1")
+        self.fc2 = dense(self.d_model, name="fc2")
+
+    def __call__(self, x):
+        return self.fc2(nn.gelu(self.fc1(x), approximate=False))
+
+
+def _ln(policy: Policy, name: str):
+    return nn.LayerNorm(epsilon=1e-5, param_dtype=policy.param_dtype, dtype=jnp.float32, name=name)
+
+
+class WhisperEncoderLayer(nn.Module):
+    config: WhisperConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = WhisperAttention(
+            cfg.d_model, cfg.encoder_attention_heads, self.policy, self.attn_implementation, name="self_attn"
+        )
+        self.self_attn_layer_norm = _ln(self.policy, "self_attn_layer_norm")
+        self.final_layer_norm = _ln(self.policy, "final_layer_norm")
+        self.mlp = _Mlp(cfg.d_model, cfg.encoder_ffn_dim, self.policy, name="mlp")
+
+    def __call__(self, x):
+        h, _ = self.self_attn(self.self_attn_layer_norm(x).astype(self.policy.compute_dtype))
+        x = x + h
+        x = x + self.mlp(self.final_layer_norm(x).astype(self.policy.compute_dtype))
+        return x
+
+
+class WhisperEncoder(nn.Module):
+    """log-mel (B, T, mels) -> hidden states (B, T//2, d_model)."""
+
+    config: WhisperConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    @nn.compact
+    def __call__(self, mel: jax.Array) -> jax.Array:
+        cfg = self.config
+
+        def conv(x, name, stride):
+            kernel = self.param(
+                f"{name}_kernel", nn.initializers.lecun_normal(), (3, x.shape[-1], cfg.d_model), self.policy.param_dtype
+            )
+            bias = self.param(f"{name}_bias", nn.initializers.zeros, (cfg.d_model,), self.policy.param_dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.policy.compute_dtype),
+                kernel.astype(self.policy.compute_dtype),
+                (stride,),
+                [(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            return y + bias.astype(self.policy.compute_dtype)
+
+        x = nn.gelu(conv(mel, "conv1", 1), approximate=False)
+        x = nn.gelu(conv(x, "conv2", 2), approximate=False)
+
+        # sinusoidal table, stored (checkpoint parity, not recomputed)
+        pos = self.param("embed_positions", lambda key: _sinusoids(cfg.max_source_positions, cfg.d_model))
+        x = x + pos[: x.shape[1]].astype(x.dtype)
+
+        for i in range(cfg.encoder_layers):
+            x = WhisperEncoderLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")(x)
+        return _ln(self.policy, "layer_norm")(x).astype(self.policy.compute_dtype)
+
+
+class WhisperDecoderLayer(nn.Module):
+    config: WhisperConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = WhisperAttention(
+            cfg.d_model, cfg.decoder_attention_heads, self.policy, self.attn_implementation, name="self_attn"
+        )
+        self.encoder_attn = WhisperAttention(
+            cfg.d_model, cfg.decoder_attention_heads, self.policy, self.attn_implementation, name="encoder_attn"
+        )
+        self.self_attn_layer_norm = _ln(self.policy, "self_attn_layer_norm")
+        self.encoder_attn_layer_norm = _ln(self.policy, "encoder_attn_layer_norm")
+        self.final_layer_norm = _ln(self.policy, "final_layer_norm")
+        self.mlp = _Mlp(cfg.d_model, cfg.decoder_ffn_dim, self.policy, name="mlp")
+
+    def __call__(self, x, enc=None, cache=None, cache_index=None, cross_kv=None):
+        cd = self.policy.compute_dtype
+        h, new_cache = self.self_attn(
+            self.self_attn_layer_norm(x).astype(cd), causal=True, cache=cache, cache_index=cache_index
+        )
+        x = x + h
+        h, _ = self.encoder_attn(
+            self.encoder_attn_layer_norm(x).astype(cd), kv_states=enc, precomputed_kv=cross_kv
+        )
+        x = x + h
+        x = x + self.mlp(self.final_layer_norm(x).astype(cd))
+        return x, new_cache
+
+    def cross_kv(self, enc):
+        return self.encoder_attn.kv_for(enc)
+
+
+class WhisperDecoder(nn.Module):
+    config: WhisperConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.d_model, param_dtype=self.policy.param_dtype, name="embed_tokens"
+        )
+        self.embed_positions = self.param(
+            "embed_positions",
+            nn.initializers.normal(0.02),
+            (cfg.max_target_positions, cfg.d_model),
+            self.policy.param_dtype,
+        )
+        self.layers = [
+            WhisperDecoderLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        self.layer_norm = _ln(self.policy, "layer_norm")
+        self.proj_out = nn.Dense(
+            cfg.vocab_size,
+            use_bias=False,
+            param_dtype=self.policy.param_dtype,
+            dtype=jnp.float32,
+            name="proj_out",
+        )
+
+    def __call__(self, input_ids, enc=None, cache=None, cache_index=None, cross_kv=None):
+        x = self.embed_tokens(input_ids).astype(self.policy.compute_dtype)
+        if cache_index is not None:
+            positions = cache_index + jnp.arange(input_ids.shape[1])
+        else:
+            positions = jnp.arange(input_ids.shape[1])
+        x = x + jnp.take(self.embed_positions, positions, axis=0).astype(x.dtype)
+
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            x, new_c = layer(
+                x,
+                enc,
+                cache[i] if cache is not None else None,
+                cache_index,
+                cross_kv[i] if cross_kv is not None else None,
+            )
+            new_caches.append(new_c)
+
+        x = self.layer_norm(x)
+        logits = self.proj_out(x.astype(self.policy.compute_dtype))
+        return logits, (tuple(new_caches) if cache is not None else None)
+
+    def compute_cross_kv(self, enc) -> Tuple[Dict[str, jax.Array], ...]:
+        """Per-layer cross-attention K/V, computed ONCE per utterance."""
+        return tuple(layer.cross_kv(enc) for layer in self.layers)
+
+
+class WhisperForASR(nn.Module):
+    """Encoder-decoder with teacher-forced forward + jitted greedy decode."""
+
+    config: WhisperConfig
+    policy: Policy = DEFAULT
+    attn_implementation: str = "auto"
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.config, self.policy, self.attn_implementation, name="encoder")
+        self.decoder = WhisperDecoder(self.config, self.policy, self.attn_implementation, name="decoder")
+
+    def __call__(self, mel: jax.Array, decoder_input_ids: jax.Array):
+        enc = self.encoder(mel)
+        logits, _ = self.decoder(decoder_input_ids, enc)
+        return logits
+
+    def encode(self, mel: jax.Array) -> jax.Array:
+        return self.encoder(mel)
+
+    def cross_kv(self, enc: jax.Array):
+        return self.decoder.compute_cross_kv(enc)
+
+    def decode_step(self, input_ids, cross_kv, cache, cache_index):
+        return self.decoder(input_ids, cache=cache, cache_index=cache_index, cross_kv=cross_kv)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        cfg = self.config
+        h, d = cfg.decoder_attention_heads, cfg.d_model // cfg.decoder_attention_heads
+        shape = (batch_size, h, max_len, d)
+        one = lambda: {
+            "k": jnp.zeros(shape, self.policy.compute_dtype),
+            "v": jnp.zeros(shape, self.policy.compute_dtype),
+        }
+        return tuple(one() for _ in range(cfg.decoder_layers))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def greedy_decode(model: WhisperForASR, variables, mel: jax.Array, max_new_tokens: int, prompt_ids: jax.Array):
+    """Batched greedy transcription: (B, T, mels) + (B, P) forced prompt ->
+    (B, P + max_new_tokens) token ids (eos-padded past completion)."""
+    cfg = model.config
+    b, p = prompt_ids.shape
+    enc = model.apply(variables, mel, method="encode")
+    cross_kv = model.apply(variables, enc, method="cross_kv")
+    cache = model.init_cache(b, p + max_new_tokens)
+
+    # prefill the forced prompt
+    logits, cache = model.apply(
+        variables, prompt_ids.astype(jnp.int32), cross_kv, cache, jnp.asarray(0), method="decode_step"
+    )
+    next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    done = next_tok == cfg.eos_token_id
+
+    tokens0 = jnp.concatenate(
+        [prompt_ids.astype(jnp.int32), jnp.full((b, max_new_tokens), cfg.eos_token_id, jnp.int32)], axis=1
+    )
+    tokens0 = jax.lax.dynamic_update_slice(tokens0, next_tok[:, None], (0, p))
+
+    def body(state, i):
+        tokens, cache, done = state
+        cur = jax.lax.dynamic_slice(tokens, (0, p + i), (b, 1))
+        logits, cache = model.apply(variables, cur, cross_kv, cache, p + 1 + i, method="decode_step")
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, p + 1 + i))
+        return (tokens, cache, done), ()
+
+    if max_new_tokens > 1:
+        (tokens, _, _), _ = jax.lax.scan(body, (tokens0, cache, done), jnp.arange(max_new_tokens - 1))
+    else:
+        tokens = tokens0
+    return tokens

@@ -51,6 +51,114 @@ class EnergyMOS:
         return float(np.clip(loud - 10 * clip, 1.0, 5.0))
 
 
+class NativeWhisperASR:
+    """TPU-native Whisper transcriber (models/whisper.py) from a local HF
+    checkpoint directory — the eval stack's ASR runs on-device next to the
+    synthesis it scores instead of in a host torch pipeline.
+
+    The directory needs the HF layout: config.json, model.safetensors (or a
+    sharded index), tokenizer files, and (optionally) generation_config.json
+    for the forced decoder ids.
+    """
+
+    def __init__(self, model_dir: str, max_new_tokens: int = 200, batch_size: int = 8):
+        import json
+        from pathlib import Path
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.convert import whisper_params
+        from ..models.whisper import WhisperConfig, WhisperForASR
+        from ..core.precision import BF16_INFERENCE
+
+        model_dir = Path(model_dir)
+        with open(model_dir / "config.json") as f:
+            hf = json.load(f)
+        self.config = WhisperConfig(
+            vocab_size=hf["vocab_size"],
+            num_mel_bins=hf["num_mel_bins"],
+            d_model=hf["d_model"],
+            encoder_layers=hf["encoder_layers"],
+            encoder_attention_heads=hf["encoder_attention_heads"],
+            decoder_layers=hf["decoder_layers"],
+            decoder_attention_heads=hf["decoder_attention_heads"],
+            encoder_ffn_dim=hf["encoder_ffn_dim"],
+            decoder_ffn_dim=hf["decoder_ffn_dim"],
+            max_source_positions=hf["max_source_positions"],
+            max_target_positions=hf["max_target_positions"],
+            decoder_start_token_id=hf.get("decoder_start_token_id", 50258),
+            eos_token_id=hf.get("eos_token_id", 50257),
+        )
+        self.model = WhisperForASR(self.config, policy=BF16_INFERENCE)
+        sd = _load_hf_state_dict(model_dir)
+        self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, whisper_params(sd))}
+
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(str(model_dir))
+        forced = []
+        gen_cfg = model_dir / "generation_config.json"
+        if gen_cfg.is_file():
+            with open(gen_cfg) as f:
+                g = json.load(f)
+            forced = [t for _, t in sorted((i, t) for i, t in (g.get("forced_decoder_ids") or []))]
+        # prompt: <|startoftranscript|> [+ forced lang/task/notimestamps ids]
+        self.prompt_ids = [self.config.decoder_start_token_id] + forced
+        self.max_new_tokens = max_new_tokens
+        self.batch_size = batch_size
+
+    def transcribe(self, wavs, sample_rate: int = 16000) -> List[str]:
+        import jax
+        import jax.numpy as jnp
+
+        from ..dsp.mel import whisper_log_mel
+        from ..models.whisper import greedy_decode
+
+        texts: List[str] = []
+        chunk = 16000 * 30
+        for start in range(0, len(wavs), self.batch_size):
+            batch = wavs[start : start + self.batch_size]
+            mels = []
+            for w in batch:
+                w = np.asarray(w, np.float32).reshape(-1)[:chunk]
+                padded = np.zeros(chunk, np.float32)
+                padded[: len(w)] = w
+                mels.append(padded)
+            mel = whisper_log_mel(jnp.asarray(np.stack(mels)), num_mels=self.config.num_mel_bins)
+            prompt = jnp.asarray([self.prompt_ids] * len(batch), jnp.int32)
+            tokens = np.asarray(greedy_decode(self.model, self.variables, mel, self.max_new_tokens, prompt))
+            for row in tokens:
+                ids = row[len(self.prompt_ids) :]
+                eos = np.where(ids == self.config.eos_token_id)[0]
+                if eos.size:
+                    ids = ids[: eos[0]]
+                texts.append(self.tokenizer.decode(ids.tolist(), skip_special_tokens=True).strip())
+        return texts
+
+
+def _load_hf_state_dict(model_dir) -> dict:
+    """Single or sharded safetensors checkpoint -> flat numpy state dict."""
+    import json
+    from pathlib import Path
+
+    from safetensors.numpy import load_file
+
+    model_dir = Path(model_dir)
+    single = model_dir / "model.safetensors"
+    if single.is_file():
+        return load_file(str(single))
+    index = model_dir / "model.safetensors.index.json"
+    if index.is_file():
+        with open(index) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+        sd = {}
+        for fname in files:
+            sd.update(load_file(str(model_dir / fname)))
+        return sd
+    raise FileNotFoundError(f"no safetensors weights in {model_dir}")
+
+
 class TorchWhisperASR:
     """HF Whisper pipeline on host CPU from a local checkpoint dir
     (eval.py:34-48 parity: same generate kwargs)."""
@@ -108,7 +216,10 @@ def default_asr(config) -> ASRScorer:
         from pathlib import Path
 
         if Path(str(name)).exists():
-            return TorchWhisperASR(str(name))
+            try:
+                return NativeWhisperASR(str(name))  # TPU-native decode
+            except Exception:
+                return TorchWhisperASR(str(name))  # host torch fallback
     return NullASR()
 
 
