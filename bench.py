@@ -55,10 +55,16 @@ def main():
     wav, lengths = run(jax.random.key(0))
     np.asarray(wav)
 
-    # FLOPs of one synthesize program (host-side HLO analysis; 0 if opaque)
-    flops = compiled_flops(
-        decoder._synth.lower(ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=True)
-    )
+    # FLOPs of one synthesize program (post-warmup, so the AOT compile is a
+    # cache hit; 0 if the backend exposes no cost analysis)
+    try:
+        flops = compiled_flops(
+            decoder._synth.lower(
+                ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=True
+            ).compile()
+        )
+    except Exception:
+        flops = 0.0
 
     # steady-state serving throughput: enqueue all batches (async dispatch),
     # then drain each output fully to the host; wall time covers the last

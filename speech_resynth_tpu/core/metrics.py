@@ -174,23 +174,29 @@ def device_peak_flops(device=None) -> float:
 def compiled_flops(compiled) -> float:
     """FLOPs of one execution from XLA cost analysis (0.0 if unavailable).
 
-    ``compiled`` is the object returned by ``jit(f).lower(*args).compile()``
-    or by ``jit(f).lower(*args)`` (Lowered.cost_analysis runs on the HLO
-    module without a backend compile — cheap, so loops can call it once).
+    ``compiled`` is the object returned by ``jit(f).lower(*args).compile()``.
+    (``Lowered.cost_analysis()`` without the compile returns None on this
+    JAX; compiling is a cache hit when the jitted fn has already run once.)
     """
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
+        if cost is None:
+            return 0.0
         return float(cost.get("flops", 0.0))
     except Exception:
         return 0.0
 
 
 def step_flops(jitted_fn, *args, **kwargs) -> float:
-    """Per-device FLOPs of one jitted step (0.0 if analysis unavailable)."""
+    """Per-device FLOPs of one jitted step (0.0 if analysis unavailable).
+
+    Call AFTER the step has executed once — the AOT ``lower().compile()``
+    is then served from the compilation cache instead of recompiling.
+    """
     try:
-        total = compiled_flops(jitted_fn.lower(*args, **kwargs))
+        total = compiled_flops(jitted_fn.lower(*args, **kwargs).compile())
     except Exception:
         return 0.0
     return total / max(jax.device_count(), 1)

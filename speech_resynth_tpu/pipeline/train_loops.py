@@ -176,10 +176,10 @@ def train_flow_matching(config) -> None:
             ):
                 arrays = {k: batch[k] for k in ("input_ids", "spectrogram_labels", "duration_labels")}
                 sharded = shard_batch(arrays, mesh)
-                if flops_per_step is None:
-                    flops_per_step = step_flops(step_fn, state, sharded, rngs.fold_in(step))
                 with trace_span("cfm_train_step"):
                     state, metrics = step_fn(state, sharded, rngs.fold_in(step))
+                if flops_per_step is None:  # post-step: AOT compile is a cache hit
+                    flops_per_step = step_flops(step_fn, state, sharded, rngs.fold_in(step))
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
@@ -284,10 +284,10 @@ def train_hifigan(config) -> None:
             ):
                 arrays = {k: batch[k] for k in ("mel", "wav", "mel_mask")}
                 sharded = shard_batch(arrays, mesh)
-                if flops_per_step is None:
-                    flops_per_step = step_flops(step_fn, state, sharded)
                 with trace_span("hifigan_train_step"):
                     state, metrics = step_fn(state, sharded)
+                if flops_per_step is None:  # post-step: AOT compile is a cache hit
+                    flops_per_step = step_flops(step_fn, state, sharded)
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
@@ -435,10 +435,10 @@ def train_speechlm(config) -> None:
                 process_count=jax.process_count(),
             ):
                 sharded = shard_batch(batch, mesh)
-                if flops_per_step is None:
-                    flops_per_step = step_flops(step_fn, state, sharded)
                 with trace_span("speechlm_train_step"):
                     state, metrics = step_fn(state, sharded)
+                if flops_per_step is None:  # post-step: AOT compile is a cache hit
+                    flops_per_step = step_flops(step_fn, state, sharded)
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
