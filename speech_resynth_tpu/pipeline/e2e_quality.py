@@ -38,8 +38,8 @@ SCALES = {
     # discriminators cost ~10-20 s/GAN-step there, so convergence is the
     # chip run's job — see E2E_QUALITY.md for the converged numbers)
     "ci": dict(
-        n_train=32, n_eval=6, gan_channels=32, gan_epochs=2, gan_batch=2, frames_per_seg=8,
-        cfm_hidden=32, cfm_epochs=40, cfm_batch=8,
+        n_train=32, n_eval=6, gan_channels=32, gan_epochs=1, gan_batch=2, frames_per_seg=8,
+        cfm_hidden=32, cfm_epochs=100, cfm_batch=8,
         lm_hidden=64, lm_layers=2, lm_epochs=3, lm_batch=16, lm_sentences=2000,
     ),
     "chip": dict(
