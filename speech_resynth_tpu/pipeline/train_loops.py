@@ -454,8 +454,38 @@ def train_speechlm(config) -> None:
 
             ckpt.save(step, state)
             if jax.process_index() == 0:
+                _export_speechlm(config, model_config, state)  # rank-0 save_pretrained (train.py:211)
                 _validate_speechlm(config, model, {"params": state.params}, step, writer, num_special)
     writer.close()
+
+
+def _export_speechlm(config, model_config, state) -> None:
+    """HF-format LlamaForCausalLM export (speechlm/train.py:199-213 parity):
+    the saved directory loads with HF transformers."""
+    from ..models.export import llama_state_dict, save_pretrained
+
+    sd = llama_state_dict(jax.device_get(state.params))
+    save_pretrained(
+        Path(config.model.path) / "hf",
+        sd,
+        {
+            "model_type": "llama",
+            "architectures": ["LlamaForCausalLM"],
+            "vocab_size": model_config.vocab_size,
+            "hidden_size": model_config.hidden_size,
+            "intermediate_size": model_config.intermediate_size,
+            "num_hidden_layers": model_config.num_hidden_layers,
+            "num_attention_heads": model_config.num_attention_heads,
+            "num_key_value_heads": model_config.num_attention_heads,
+            "rms_norm_eps": model_config.rms_norm_eps,
+            "rope_theta": model_config.rope_theta,
+            "tie_word_embeddings": False,
+            "pad_token_id": model_config.pad_token_id,
+            "bos_token_id": model_config.bos_token_id,
+            "eos_token_id": model_config.eos_token_id,
+            "torch_dtype": "float32",
+        },
+    )
 
 
 def _validate_speechlm(config, model, variables, step, writer, num_special) -> None:

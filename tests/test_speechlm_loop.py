@@ -93,3 +93,53 @@ def test_speechlm_loop_resume_and_scores(tmp_path):
     test_scores = Path(cfg2.dataset.result_dir) / "lexical/test.txt"
     assert test_scores.is_file()
     assert len(test_scores.read_text().splitlines()) == 2
+
+
+def test_speechlm_hf_export_loads_in_torch(tmp_path):
+    """The loop's rank-0 save_pretrained parity (speechlm/train.py:211):
+    the exported directory must load with HF LlamaForCausalLM and produce
+    the same logits as our model."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_resynth_tpu.pipeline.train_loops import train_speechlm
+
+    cfg = make_cfg(tmp_path, epoch=1)
+    train_speechlm(cfg)
+
+    hf_dir = Path(cfg.model.path) / "hf"
+    assert (hf_dir / "model.safetensors").is_file()
+
+    import torch
+    from transformers import LlamaForCausalLM
+
+    torch_model = LlamaForCausalLM.from_pretrained(hf_dir).eval()
+
+    # our model from the checkpoint
+    from speech_resynth_tpu.core.mesh import make_mesh
+    from speech_resynth_tpu.core.checkpoint import CheckpointManager
+    from speech_resynth_tpu.core.precision import FLOAT32
+    from speech_resynth_tpu.models.llama import LlamaConfig, LlamaLM
+    from speech_resynth_tpu.train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
+
+    model_config = LlamaConfig(
+        vocab_size=cfg.model.vocab_size + 2,
+        hidden_size=cfg.model.hidden_size,
+        intermediate_size=cfg.model.intermediate_size,
+        num_hidden_layers=cfg.model.num_hidden_layers,
+        num_attention_heads=cfg.model.num_attention_heads,
+        pad_token_id=0,
+        eos_token_id=1,
+    )
+    _, state, _, _ = make_speechlm_trainer(
+        model_config, SpeechLMTrainerConfig(batch_size_per_device=1, units_per_sample=8), make_mesh(), 10
+    )
+    with CheckpointManager(Path(cfg.model.path) / "ckpt") as ckpt:
+        state = ckpt.restore(state)
+
+    ids = np.random.default_rng(0).integers(2, model_config.vocab_size, (2, 8)).astype(np.int64)
+    with torch.no_grad():
+        theirs = torch_model(torch.from_numpy(ids)).logits.numpy()
+    lm = LlamaLM(model_config, policy=FLOAT32, attn_implementation="xla")
+    ours, _ = lm.apply({"params": state.params}, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-4)
