@@ -217,13 +217,20 @@ def dot_product_attention(
     """
     if implementation == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # Dispatch driven by benchmarks/bench_attention.py on v5e (PARITY.md
-        # §attention table): the kernel (with the native d=64 path) beats XLA
-        # 1.6-4.0x on every production shape — CFM d=128, HuBERT d=64 bidir,
-        # Llama d=64 causal @128 — except long causal (N=1024), where XLA's
-        # fused SDPA is ~12% ahead; leave that to XLA.
+        # Dispatch driven by IN-CONTEXT measurements on v5e (PARITY.md):
+        # standalone, the kernel beats XLA 1.6-4x on every production shape
+        # (bench_attention.py) — but inside a full jitted model XLA's fusion
+        # changes the verdict per family:
+        #   * CFM-style d%128==0 bidir: pallas (headline bench holds ~990x)
+        #   * Llama-style d=64 short causal: pallas (+7% LM scoring,
+        #     bench_lm.py 186k -> 199k tok/s)
+        #   * HuBERT/Whisper-style d=64 bidir: XLA (full-encoder A/B: XLA
+        #     1906x vs pallas 1411x realtime) — fusion with QKV/residual wins
         d, n = q.shape[-1], q.shape[-2]
-        shape_profits = (d in (64, 128) or d % 128 == 0) and n >= 128 and not (causal and n > 512)
+        if d == 64:
+            shape_profits = causal and 128 <= n <= 512
+        else:
+            shape_profits = d % 128 == 0 and n >= 256
         implementation = "pallas" if (on_tpu and shape_profits) else "xla"
     if implementation == "pallas":
         return _flash_attention(q, k, v, mask, causal)
