@@ -32,6 +32,7 @@ from ..models.cfm import CFMConfig
 from ..models.hifigan import HifiGanConfig
 from ..models.llama import LlamaConfig
 from .data import MelDataset, UnitDataset, UnitTextDataset
+from .prefetch import prefetch
 
 
 def _mel_file_list(training_files: str) -> Optional[str]:
@@ -166,16 +167,19 @@ def train_flow_matching(config) -> None:
             start_epoch = int(state.step) // steps_per_epoch + 1
 
         step = int(state.step)
+        def _to_device(batch):
+            arrays = {k: batch[k] for k in ("input_ids", "spectrogram_labels", "duration_labels")}
+            return shard_batch(arrays, mesh)
+
         for epoch in range(start_epoch, trainer_config.epoch + 1):
-            for batch in train_set.batches(
+            batches = train_set.batches(
                 trainer_config.batch_size,
                 seed=trainer_config.seed,
                 epoch=epoch,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
-            ):
-                arrays = {k: batch[k] for k in ("input_ids", "spectrogram_labels", "duration_labels")}
-                sharded = shard_batch(arrays, mesh)
+            )
+            for sharded in prefetch(batches, transform=_to_device):
                 with trace_span("cfm_train_step"):
                     state, metrics = step_fn(state, sharded, rngs.fold_in(step))
                 if flops_per_step is None:  # post-step: AOT compile is a cache hit
@@ -274,16 +278,19 @@ def train_hifigan(config) -> None:
         step = int(state.step)
         start_epoch = step // steps_per_epoch
 
+        def _to_device(batch):
+            arrays = {k: batch[k] for k in ("mel", "wav", "mel_mask")}
+            return shard_batch(arrays, mesh)
+
         for epoch in range(start_epoch, trainer_config.training_epochs):
-            for batch in train_set.batches(
+            batches = train_set.batches(
                 batch_size,
                 seed=trainer_config.seed,
                 epoch=epoch,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
-            ):
-                arrays = {k: batch[k] for k in ("mel", "wav", "mel_mask")}
-                sharded = shard_batch(arrays, mesh)
+            )
+            for sharded in prefetch(batches, transform=_to_device):
                 with trace_span("hifigan_train_step"):
                     state, metrics = step_fn(state, sharded)
                 if flops_per_step is None:  # post-step: AOT compile is a cache hit
@@ -427,14 +434,14 @@ def train_speechlm(config) -> None:
 
         step = int(state.step)
         for epoch in range(start_epoch, trainer_config.epoch + 1):
-            for batch in train_set.batches(
+            batches = train_set.batches(
                 global_batch,
                 seed=trainer_config.seed,
                 epoch=epoch,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
-            ):
-                sharded = shard_batch(batch, mesh)
+            )
+            for sharded in prefetch(batches, transform=lambda b: shard_batch(b, mesh)):
                 with trace_span("speechlm_train_step"):
                     state, metrics = step_fn(state, sharded)
                 if flops_per_step is None:  # post-step: AOT compile is a cache hit

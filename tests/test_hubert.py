@@ -90,3 +90,46 @@ def test_frame_count_math():
     assert cfg.total_stride == 320
     # 1 second of 16 kHz audio -> 49 frames (valid conv, no padding)
     assert cfg.num_frames(16000) == 49
+
+
+def test_wav2vec2_checkpoints_convert_and_match():
+    """HF Wav2Vec2Model (UTMOS's SSL backbone) shares HubertModel's state
+    dict layout exactly — hubert_params converts its checkpoints and our
+    tower reproduces its hidden states (wav2vec2-base arch = config here)."""
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    cfg = tiny_cfg()
+    torch.manual_seed(3)
+    torch_model = Wav2Vec2Model(
+        Wav2Vec2Config(
+            hidden_size=cfg.hidden_size,
+            num_hidden_layers=cfg.num_hidden_layers,
+            num_attention_heads=cfg.num_attention_heads,
+            intermediate_size=cfg.intermediate_size,
+            conv_dim=list(cfg.conv_dim),
+            conv_kernel=list(cfg.conv_kernel),
+            conv_stride=list(cfg.conv_stride),
+            num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+            feat_extract_norm="group",
+            conv_bias=False,
+            do_stable_layer_norm=False,
+            hidden_dropout=0.0,
+            attention_dropout=0.0,
+            feat_proj_dropout=0.0,
+            layerdrop=0.0,
+            attn_implementation="eager",
+        )
+    ).eval()
+
+    wav = np.random.default_rng(5).standard_normal((1, 400)).astype(np.float32) * 0.1
+    import torch as _t
+
+    with _t.no_grad():
+        theirs = torch_model(_t.from_numpy(wav)).last_hidden_state.numpy()
+
+    model = HB.HubertEncoder(cfg, policy=FLOAT32, attn_implementation="xla")
+    params = hubert_params(torch_model.state_dict())
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(wav)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)

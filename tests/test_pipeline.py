@@ -305,3 +305,23 @@ def test_unit_text_dataset_multihost_batches(tmp_path):
     assert len(b0) == len(b1) == 5
     for a, b in zip(b0, b1):
         assert a["input_ids"].shape == b["input_ids"].shape == (2, 8)
+
+
+def test_prefetch_order_and_errors():
+    from speech_resynth_tpu.pipeline.prefetch import prefetch
+
+    assert list(prefetch(range(10), transform=lambda x: x * 2, depth=3)) == [x * 2 for x in range(10)]
+    assert list(prefetch(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("input pipeline died")
+
+    out = []
+    with pytest.raises(ValueError, match="input pipeline died"):
+        for x in prefetch(boom()):
+            out.append(x)
+    assert out == [1]
+
+    with pytest.raises(RuntimeError):
+        list(prefetch(range(5), transform=lambda x: (_ for _ in ()).throw(RuntimeError("t"))))
