@@ -146,8 +146,13 @@ class ConditionalFlowMatchingWithHifiGan:
         with open(voc_dir / "config.json") as f:
             v = json.load(f)
         vocoder_config = HifiGanConfig(
+            model_in_dim=v.get("model_in_dim", 80),
+            upsample_initial_channel=v.get("upsample_initial_channel", 512),
             upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
             upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
+            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(tuple(d) for d in v.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            leaky_relu_slope=v.get("leaky_relu_slope", 0.1),
             normalize_before=v.get("normalize_before", False),
         )
 

@@ -23,6 +23,23 @@ from .data import UnitDataset
 from .scorers import ASRScorer, MOSScorer, default_asr, default_mos
 
 
+def _load_decoder(config) -> ConditionalFlowMatchingWithHifiGan:
+    """Composite checkpoint dir when present (eval.py:32 semantics), else
+    the two training-export dirs (load_pretrained, models.py:200-209)."""
+    name = None
+    try:
+        name = config.flow_matching_with_hifigan.get("name")
+    except Exception:
+        pass
+    if name and Path(str(name)).is_dir():
+        return ConditionalFlowMatchingWithHifiGan.from_pretrained(str(name))
+    fm_dir = Path(str(config.flow_matching.path)) / "hf"
+    voc_dir = Path(str(config.hifigan.path))
+    if (fm_dir / "config.json").is_file() and (voc_dir / "config.json").is_file():
+        return ConditionalFlowMatchingWithHifiGan.load_pretrained(str(fm_dir), str(voc_dir))
+    return ConditionalFlowMatchingWithHifiGan.from_pretrained(str(name))
+
+
 def evaluate(
     config,
     decoder: Optional[ConditionalFlowMatchingWithHifiGan] = None,
@@ -35,7 +52,7 @@ def evaluate(
         ext_audio=config.dataset.ext_audio,
     )
     if decoder is None:
-        decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(config.flow_matching_with_hifigan.name)
+        decoder = _load_decoder(config)
     asr = asr if asr is not None else default_asr(config)
     mos = mos if mos is not None else default_mos(config)
 

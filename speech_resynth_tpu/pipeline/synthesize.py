@@ -35,7 +35,9 @@ def synthesize(config, encoder: Optional[SpeechEncoder] = None, decoder=None) ->
             deduplicate=bool(config.flow_matching.get("predict_duration", False)),
         )
     if decoder is None:
-        decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(config.flow_matching_with_hifigan.name)
+        from .evaluate import _load_decoder
+
+        decoder = _load_decoder(config)
 
     tgt_dir = Path(config.synthesis.tgt_dir)
     dt = float(config.flow_matching.dt)

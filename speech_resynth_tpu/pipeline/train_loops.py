@@ -60,12 +60,23 @@ def validate_flow_matching(config, model, state, step: int, writer: MetricsWrite
 
     vocoder = None
     voc_path = Path(config.hifigan.path) if "hifigan" in config else None
+    voc_config = HifiGanConfig()
     if voc_path and (voc_path / "config.json").is_file():
         from ..models.composite import _load_state_dict
         from ..models.convert import hifigan_generator_params
         from ..models.hifigan import HifiGanGenerator
 
-        vocoder = HifiGanGenerator(HifiGanConfig())
+        with open(voc_path / "config.json") as f:
+            v = json.load(f)
+        voc_config = HifiGanConfig(
+            model_in_dim=v.get("model_in_dim", 80),
+            upsample_initial_channel=v.get("upsample_initial_channel", 512),
+            upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
+            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
+            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(tuple(d) for d in v.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+        )
+        vocoder = HifiGanGenerator(voc_config)
         vocoder_vars = {"params": jax.tree_util.tree_map(np.asarray, hifigan_generator_params(_load_state_dict(voc_path)))}
 
     variables = {"params": state.params, "buffers": state.extra}
@@ -84,7 +95,7 @@ def validate_flow_matching(config, model, state, step: int, writer: MetricsWrite
         if vocoder is None:
             continue
         wavs = np.asarray(vocoder.apply(vocoder_vars, mels))
-        lengths = np.asarray(HifiGanConfig().waveform_lengths(mask.sum(axis=1)))
+        lengths = np.asarray(voc_config.waveform_lengths(mask.sum(axis=1)))
         ref_wavs, ref_lengths = dev_set.wav_batch(batch["names"])
         hyp_list = [w[: int(n)] for w, n in zip(wavs, lengths)]
         hyp_scores += [mos.score(w) for w in hyp_list]
