@@ -339,3 +339,114 @@ def whisper_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
         i += 1
 
     return {"encoder": enc, "decoder": dec}
+
+
+def fairseq_wav2vec2_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """fairseq Wav2Vec2Model (wav2vec_small) state_dict -> our HubertEncoder
+    params.
+
+    The UTMOS checkpoint embeds its SSL backbone with fairseq key names
+    (SURVEY.md C23: the demo space loads ``wav2vec_small.pt`` through
+    fairseq).  The base architecture is identical to HF wav2vec2-base /
+    HuBERT-base: group-norm on conv layer 0 only, conv_bias=False, post-LN
+    encoder blocks, weight-normed conv positional embedding (dim=2).
+    """
+    sd = dict(state_dict)
+    params: Dict = {}
+
+    # conv feature extractor: fairseq blocks are Sequential(conv, dropout,
+    # [GroupNorm], GELU) -> conv at index 0, group norm (layer 0) at index 2
+    fe: Dict = {}
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.0.weight" in sd:
+        layer = {"kernel": conv1d_w(sd[f"feature_extractor.conv_layers.{i}.0.weight"])}
+        if f"feature_extractor.conv_layers.{i}.2.weight" in sd:
+            layer["norm_scale"] = _np(sd[f"feature_extractor.conv_layers.{i}.2.weight"])
+            layer["norm_bias"] = _np(sd[f"feature_extractor.conv_layers.{i}.2.bias"])
+        fe[f"conv_layers_{i}"] = layer
+        i += 1
+    params["feature_extractor"] = fe
+
+    # feature layer norm then post_extract_proj (512 -> 768)
+    params["feature_projection_norm"] = {
+        "scale": _np(sd["layer_norm.weight"]),
+        "bias": _np(sd["layer_norm.bias"]),
+    }
+    params["feature_projection_dense"] = {
+        "kernel": dense_w(sd["post_extract_proj.weight"]),
+        "bias": _np(sd["post_extract_proj.bias"]),
+    }
+
+    # conv positional embedding: Sequential(weight_norm conv, SamePad, GELU)
+    if "encoder.pos_conv.0.weight_g" in sd:
+        g = _np(sd["encoder.pos_conv.0.weight_g"])
+        v = _np(sd["encoder.pos_conv.0.weight_v"])
+    else:  # torch >= 2.1 parametrized names
+        g = _np(sd["encoder.pos_conv.0.parametrizations.weight.original0"])
+        v = _np(sd["encoder.pos_conv.0.parametrizations.weight.original1"])
+    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))  # weight_norm dim=2
+    params["pos_conv_kernel"] = conv1d_w(g * v / norm)
+    params["pos_conv_bias"] = _np(sd["encoder.pos_conv.0.bias"])
+    params["encoder_norm"] = {
+        "scale": _np(sd["encoder.layer_norm.weight"]),
+        "bias": _np(sd["encoder.layer_norm.bias"]),
+    }
+
+    i = 0
+    while f"encoder.layers.{i}.self_attn.q_proj.weight" in sd:
+        p = f"encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "q_proj": {"kernel": dense_w(sd[f"{p}.self_attn.q_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.q_proj.bias"])},
+            "k_proj": {"kernel": dense_w(sd[f"{p}.self_attn.k_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.k_proj.bias"])},
+            "v_proj": {"kernel": dense_w(sd[f"{p}.self_attn.v_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.v_proj.bias"])},
+            "o_proj": {"kernel": dense_w(sd[f"{p}.self_attn.out_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.out_proj.bias"])},
+            "attn_norm": {"scale": _np(sd[f"{p}.self_attn_layer_norm.weight"]), "bias": _np(sd[f"{p}.self_attn_layer_norm.bias"])},
+            "ff_in": {"kernel": dense_w(sd[f"{p}.fc1.weight"]), "bias": _np(sd[f"{p}.fc1.bias"])},
+            "ff_out": {"kernel": dense_w(sd[f"{p}.fc2.weight"]), "bias": _np(sd[f"{p}.fc2.bias"])},
+            "ff_norm": {"scale": _np(sd[f"{p}.final_layer_norm.weight"]), "bias": _np(sd[f"{p}.final_layer_norm.bias"])},
+        }
+        i += 1
+
+    return params
+
+
+def _torch_lstm_dir(sd: Mapping, prefix: str, suffix: str) -> Dict:
+    """torch nn.LSTM one-direction weights -> our BiLSTM params.
+
+    torch packs gates [i, f, g, o] along 4H in weight_ih (4H, D) /
+    weight_hh (4H, H) with two bias vectors (summed here — the cell only
+    ever uses their sum)."""
+    p = f"{prefix}." if prefix else ""
+    rev = "_reverse" if suffix == "bwd" else ""
+    return {
+        f"w_ih_{suffix}": dense_w(sd[f"{p}weight_ih_l0{rev}"]),
+        f"w_hh_{suffix}": dense_w(sd[f"{p}weight_hh_l0{rev}"]),
+        f"bias_{suffix}": _np(sd[f"{p}bias_ih_l0{rev}"]) + _np(sd[f"{p}bias_hh_l0{rev}"]),
+    }
+
+
+def utmos_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
+    """UTMOS-demo lightning checkpoint state_dict -> our UTMOSPredictor params.
+
+    Expected key layout (the public strong-learner module tree, SURVEY.md
+    C23): ``model.feature_extractors.0.ssl_model.*`` (fairseq wav2vec2),
+    ``model.feature_extractors.1.embedding`` (domain),
+    ``model.output_layers.0.{judge_embedding,decoder_rnn}`` (LDConditioner),
+    ``model.output_layers.1.net.{0,3}`` (projection Sequential: Linear,
+    ReLU, Dropout, Linear).  A leading ``model.`` prefix is optional.
+    """
+    sd = {}
+    for k, v in dict(state_dict).items():
+        sd[k[len("model.") :] if k.startswith("model.") else k] = v
+
+    ssl_sd = {k[len("feature_extractors.0.ssl_model.") :]: v for k, v in sd.items() if k.startswith("feature_extractors.0.ssl_model.")}
+    rnn = "output_layers.0.decoder_rnn"
+    params: Dict = {
+        "ssl": fairseq_wav2vec2_params(ssl_sd),
+        "domain_embedding": {"embedding": _np(sd["feature_extractors.1.embedding.weight"])},
+        "judge_embedding": {"embedding": _np(sd["output_layers.0.judge_embedding.weight"])},
+        "decoder_rnn": {**_torch_lstm_dir(sd, rnn, "fwd"), **_torch_lstm_dir(sd, rnn, "bwd")},
+        "proj_in": {"kernel": dense_w(sd["output_layers.1.net.0.weight"]), "bias": _np(sd["output_layers.1.net.0.bias"])},
+        "proj_out": {"kernel": dense_w(sd["output_layers.1.net.3.weight"]), "bias": _np(sd["output_layers.1.net.3.bias"])},
+    }
+    return params

@@ -59,17 +59,29 @@ class HubertConfig:
 
 
 class ConvFeatureExtractor(nn.Module):
-    """Strided conv stack; first layer group-normed (HF 'group' norm mode)."""
+    """Strided conv stack; first layer group-normed (HF 'group' norm mode).
+
+    ``num_samples``: valid wav samples per row for right-padded ragged
+    batches.  Because every conv is VALID and local, masking the group-norm
+    statistics to valid frames and zeroing pad frames after each layer makes
+    the valid-frame outputs EXACTLY equal to running each row unpadded —
+    which is how the torch reference stacks (batch-1 loops) behave.
+    """
 
     config: HubertConfig
     policy: Policy = DEFAULT
 
     @nn.compact
-    def __call__(self, wav: jax.Array) -> jax.Array:
+    def __call__(self, wav: jax.Array, num_samples: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.config
         x = wav[..., None].astype(jnp.float32)  # (B, T, 1)
+        lengths = num_samples
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
-            x = _ConvLayer(dim, k, s, use_group_norm=(i == 0), policy=self.policy, name=f"conv_layers_{i}")(x)
+            if lengths is not None:
+                lengths = (lengths - k) // s + 1
+            x = _ConvLayer(dim, k, s, use_group_norm=(i == 0), policy=self.policy, name=f"conv_layers_{i}")(
+                x, lengths=lengths
+            )
         return x
 
 
@@ -81,7 +93,7 @@ class _ConvLayer(nn.Module):
     policy: Policy = DEFAULT
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.he_normal(), (self.kernel_size, in_ch, self.features), self.policy.param_dtype
@@ -93,15 +105,26 @@ class _ConvLayer(nn.Module):
             "VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
+        mask = None
+        if lengths is not None:
+            mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None]  # (B, T, 1)
         if self.use_group_norm:
             # GroupNorm(groups=C, channels=C): per-channel instance norm over time
             scale = self.param("norm_scale", nn.initializers.ones, (self.features,), self.policy.param_dtype)
             bias = self.param("norm_bias", nn.initializers.zeros, (self.features,), self.policy.param_dtype)
-            mean = jnp.mean(x, axis=1, keepdims=True)
-            var = jnp.var(x, axis=1, keepdims=True)
+            if mask is None:
+                mean = jnp.mean(x, axis=1, keepdims=True)
+                var = jnp.var(x, axis=1, keepdims=True)
+            else:
+                count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1).astype(x.dtype)
+                mean = jnp.sum(x * mask, axis=1, keepdims=True) / count
+                var = jnp.sum(jnp.square(x - mean) * mask, axis=1, keepdims=True) / count
             x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
             x = x * scale + bias
-        return jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=False)
+        if mask is not None:
+            x = jnp.where(mask, x, 0.0)
+        return x
 
 
 class HubertLayer(nn.Module):
@@ -154,20 +177,42 @@ class HubertEncoder(nn.Module):
         wav: jax.Array,
         frame_mask: Optional[jax.Array] = None,
         output_layer: Optional[int] = None,
+        num_samples: Optional[jax.Array] = None,
     ) -> jax.Array:
         """(B, T) 16 kHz waveform -> (B, T//320, 768) hidden states.
 
         ``output_layer``: 1-indexed transformer layer whose output to return
         (textlesslib convention, e.g. 11 for mhubert kmeans-expresso); None
         runs all layers.
+
+        ``num_samples``: valid sample count per row for right-padded ragged
+        batches.  Threads exact mask discipline end-to-end (masked wav/conv
+        norms, zeroed pad features before the zero-padding positional conv,
+        masked attention) so valid-frame outputs match unpadded per-row runs
+        exactly; derives ``frame_mask`` when it isn't given.
         """
         cfg = self.config
+        sample_mask = None
+        if num_samples is not None:
+            sample_mask = jnp.arange(wav.shape[-1])[None, :] < num_samples[:, None]
+            if frame_mask is None:
+                n_frames = num_samples
+                for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+                    n_frames = (n_frames - k) // s + 1
+                frame_mask = jnp.arange(cfg.num_frames(wav.shape[-1]))[None, :] < n_frames[:, None]
         if cfg.do_normalize:
-            mean = jnp.mean(wav, axis=-1, keepdims=True)
-            var = jnp.var(wav, axis=-1, keepdims=True)
+            if sample_mask is None:
+                mean = jnp.mean(wav, axis=-1, keepdims=True)
+                var = jnp.var(wav, axis=-1, keepdims=True)
+            else:
+                count = jnp.maximum(jnp.sum(sample_mask, axis=-1, keepdims=True), 1).astype(wav.dtype)
+                mean = jnp.sum(wav * sample_mask, axis=-1, keepdims=True) / count
+                var = jnp.sum(jnp.square(wav - mean) * sample_mask, axis=-1, keepdims=True) / count
             wav = (wav - mean) * jax.lax.rsqrt(var + 1e-7)
+            if sample_mask is not None:
+                wav = jnp.where(sample_mask, wav, 0.0)
 
-        feats = ConvFeatureExtractor(cfg, self.policy, name="feature_extractor")(wav)
+        feats = ConvFeatureExtractor(cfg, self.policy, name="feature_extractor")(wav, num_samples=num_samples)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, param_dtype=self.policy.param_dtype, name="feature_projection_norm")(
             feats
@@ -178,6 +223,10 @@ class HubertEncoder(nn.Module):
             dtype=jnp.float32,
             name="feature_projection_dense",
         )(x)
+        if frame_mask is not None:
+            # zero pad frames so the zero-padded positional conv sees exactly
+            # the same neighborhood an unpadded per-row run would
+            x = jnp.where(frame_mask[..., None], x, 0.0)
 
         # conv positional embedding: k=128 groups=16, pad 64, drop last frame
         pos_kernel = self.param(

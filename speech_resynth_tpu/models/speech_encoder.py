@@ -66,8 +66,13 @@ class SpeechEncoder:
     def vocab_size(self) -> int:
         return self.quantizer.vocab_size
 
-    def _encode(self, wav: jax.Array) -> jax.Array:
-        feats = self.encoder.apply(self.variables, wav, output_layer=self.output_layer)
+    def _encode(self, wav: jax.Array, num_samples=None) -> jax.Array:
+        # num_samples threads exact mask discipline through the tower (masked
+        # conv/group norms, zeroed pad features, masked attention) so padded
+        # rows yield the same valid-frame units as unpadded per-row runs
+        feats = self.encoder.apply(
+            self.variables, wav, output_layer=self.output_layer, num_samples=num_samples
+        )
         return self.quantizer(feats)
 
     def __call__(self, wav, lengths: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
@@ -80,7 +85,8 @@ class SpeechEncoder:
         squeeze = wav.ndim == 1
         if squeeze:
             wav = wav[None]
-        units = self._encode_fn(wav)  # (B, N) frame-rate units
+        ns = None if lengths is None else jnp.asarray(lengths, jnp.int32)
+        units = self._encode_fn(wav, ns)  # (B, N) frame-rate units
 
         cfg = self.encoder.config
         if lengths is not None:

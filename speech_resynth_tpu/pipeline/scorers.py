@@ -186,6 +186,64 @@ class TorchWhisperASR:
         return [o["text"] for o in outs]
 
 
+class NativeUTMOS:
+    """TPU-native UTMOS MOS predictor (models/utmos.py) loaded from the
+    published lightning checkpoint (``.ckpt``/``.pt`` torch save with the
+    UTMOS-demo state-dict layout) — MOS scoring runs on-device next to the
+    synthesis it scores, like NativeWhisperASR.
+
+    Wavs are padded to 1 s buckets so each length compiles once; the frame
+    mean is masked to the true frame count (models/utmos.py handles the
+    backward-LSTM pad discipline).
+    """
+
+    def __init__(self, ckpt_path: str, domain_id: int | None = None, judge_id: int | None = None, policy=None):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ..core.precision import BF16_INFERENCE
+        from ..models.convert import utmos_params
+        from ..models.utmos import UTMOSPredictor, config_from_params
+
+        blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+        params = utmos_params(sd)
+        self.config = config_from_params(params)
+        self.model = UTMOSPredictor(self.config, policy=policy or BF16_INFERENCE)
+        self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+        # clamp to the checkpoint's table sizes: an OOB id would gather
+        # JAX's NaN fill value and poison every score
+        self.domain_id = min(
+            self.config.default_domain_id if domain_id is None else domain_id, self.config.num_domains - 1
+        )
+        self.judge_id = min(
+            self.config.default_judge_id if judge_id is None else judge_id, self.config.num_judges - 1
+        )
+        ssl_cfg = self.config.ssl
+
+        def _score(wav, dom, judge, n_samples):
+            frames = self.model.apply(self.variables, wav, dom, judge, num_samples=n_samples)
+            n = n_samples
+            for k, s in zip(ssl_cfg.conv_kernel, ssl_cfg.conv_stride):
+                n = (n - k) // s + 1
+            return UTMOSPredictor.score_from_frames(frames, num_frames=n)
+
+        self._apply = jax.jit(_score)
+
+    def score(self, wav, sample_rate: int = 16000) -> float:
+        import jax.numpy as jnp
+
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        bucket = max(16000, -(-wav.size // 16000) * 16000)
+        padded = np.zeros(bucket, np.float32)
+        padded[: wav.size] = wav
+        n = jnp.asarray([wav.size], jnp.int32)
+        dom = jnp.asarray([self.domain_id], jnp.int32)
+        judge = jnp.asarray([self.judge_id], jnp.int32)
+        return float(self._apply(jnp.asarray(padded[None]), dom, judge, n)[0])
+
+
 class TorchUTMOS:
     """UTMOS-style MOS predictor from a local torchscript/state-dict export.
 
@@ -233,5 +291,8 @@ def default_mos(config) -> MOSScorer:
         from pathlib import Path
 
         if Path(str(path)).exists():
-            return TorchUTMOS(str(path))
+            try:
+                return NativeUTMOS(str(path))  # TPU-native scoring
+            except Exception:
+                return TorchUTMOS(str(path))  # torchscript host fallback
     return EnergyMOS()

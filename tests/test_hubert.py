@@ -133,3 +133,35 @@ def test_wav2vec2_checkpoints_convert_and_match():
     params = hubert_params(torch_model.state_dict())
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(wav)))
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_ragged_batch_units_match_unpadded():
+    """Padded-batch unit extraction with lengths equals per-row unpadded runs
+    exactly (masked conv/group norms + zeroed pad features + masked
+    attention in the tower)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_resynth_tpu.models.kmeans import KMeansQuantizer
+    from speech_resynth_tpu.models.speech_encoder import SpeechEncoder
+
+    cfg = tiny_cfg()
+    enc = HB.HubertEncoder(cfg, policy=FLOAT32, attn_implementation="xla")
+    rng = np.random.default_rng(7)
+    wav_full = rng.standard_normal((2, 800)).astype(np.float32) * 0.1
+    variables = enc.init(jax.random.key(0), jnp.asarray(wav_full))
+    centers = rng.standard_normal((5, cfg.hidden_size)).astype(np.float32)
+    se = SpeechEncoder(
+        encoder=enc,
+        variables=variables,
+        quantizer=KMeansQuantizer(jnp.asarray(centers)),
+        output_layer=cfg.num_hidden_layers,
+    )
+
+    lens = [800, 500]
+    padded_out = se(wav_full, lengths=np.asarray(lens))
+    for b, n in enumerate(lens):
+        solo = se(wav_full[b, :n])
+        k = int(solo["num_units"])
+        assert int(padded_out["num_units"][b]) >= k
+        np.testing.assert_array_equal(np.asarray(padded_out["units"][b, :k]), np.asarray(solo["units"]))
