@@ -146,6 +146,17 @@ class LlamaLM(nn.Module):
     policy: Policy = DEFAULT
     attn_implementation: str = "auto"
     scan_layers: bool = False
+    # sequence parallelism (GSPMD): a NamedSharding for the (B, L, D) hidden
+    # states, e.g. P(data, model, None) — activations between layers live
+    # sequence-sharded over the model axis and XLA inserts the all-gather /
+    # reduce-scatter pairs around attention/MLP automatically (the
+    # Megatron-SP layout, scaling-book recipe).  None = no constraint.
+    hidden_sharding: Optional[object] = None
+
+    def _constrain(self, x):
+        if self.hidden_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, self.hidden_sharding)
+        return x
 
     @nn.compact
     def __call__(
@@ -165,6 +176,7 @@ class LlamaLM(nn.Module):
         x = nn.Embed(cfg.vocab_size, cfg.hidden_size, param_dtype=self.policy.param_dtype, name="embed_tokens")(
             input_ids
         ).astype(self.policy.compute_dtype)
+        x = self._constrain(x)
 
         if positions is None:
             if cache_index is not None:
@@ -182,7 +194,7 @@ class LlamaLM(nn.Module):
             # cache (if any) is a single dict stacked on axis 0.
             def body(layer, carry, layer_cache):
                 y, new_c = layer(carry, rope, mask, layer_cache, cache_index)
-                return y, new_c
+                return self._constrain(y), new_c
 
             scanned = nn.scan(
                 body,
@@ -211,6 +223,7 @@ class LlamaLM(nn.Module):
             x, new_c = LlamaLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")(
                 x, rope, mask, layer_cache, cache_index
             )
+            x = self._constrain(x)
             new_caches.append(new_c)
 
         x = LlamaRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, self.policy, name="final_norm")(x)

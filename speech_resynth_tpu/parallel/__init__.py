@@ -10,6 +10,12 @@ Here the equivalent is a named (data, model) ``jax.sharding.Mesh``:
 * TP — the reserved ``model`` axis; ``tensor_parallel_rules`` shards Llama
   attention/MLP kernels column/row-parallel (train/speechlm.py) so larger
   speech LMs scale past DP without API changes.
+* FSDP — ``fsdp_rules`` ZeRO-3-shards params over ``data`` (composes with
+  TP) for models whose optimizer state outgrows a chip.
+* SP — ``SpeechLMTrainerConfig(sequence_parallel=True)`` keeps hidden states
+  sequence-sharded over ``model`` between layers (Megatron-SP via GSPMD).
+* PP — ``pipeline.spmd_pipeline``: differentiable GPipe microbatch pipeline
+  over ``model`` (shard_map + ppermute; neighbour-only ICI transfers).
 * Multi-host — ``distributed_init`` + the same mesh spanning processes;
   collectives ride ICI within a slice, DCN across slices.
 """
@@ -25,9 +31,13 @@ from ..core.mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline import pipelined_llama_loss_fn, pp_param_shardings, spmd_pipeline
 from .sharding import fsdp_rules, tensor_parallel_rules
 
 __all__ = [
+    "pipelined_llama_loss_fn",
+    "pp_param_shardings",
+    "spmd_pipeline",
     "DATA_AXIS",
     "MODEL_AXIS",
     "data_sharded",

@@ -40,6 +40,10 @@ class SpeechLMTrainerConfig:
     max_norm: float = 1.0
     summary_interval: int = 100
     seed: int = 0
+    # sequence parallelism: constrain hidden states to P(data, model, None)
+    # so long sequences shard over the model axis between layers (GSPMD
+    # inserts the collectives); numerics are unchanged — layout only
+    sequence_parallel: bool = False
 
 
 # TP layout lives with the rest of the parallelism logic; kept as
@@ -54,8 +58,17 @@ def make_speechlm_trainer(
     total_steps: int,
     policy: Policy = DEFAULT,
 ) -> Tuple[LlamaLM, TrainState, Any, Any]:
-    model = LlamaLM(model_config, policy=policy)
-    variables = model.init(jax.random.key(trainer_config.seed), jnp.ones((1, 8), jnp.int32))
+    hidden_sharding = None
+    if trainer_config.sequence_parallel:
+        from ..core.mesh import DATA_AXIS
+
+        hidden_sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+    model = LlamaLM(model_config, policy=policy, hidden_sharding=hidden_sharding)
+    # init with an unconstrained twin: the eager init batch (1, 8) need not
+    # be divisible by the mesh; the param tree is identical either way
+    variables = LlamaLM(model_config, policy=policy).init(
+        jax.random.key(trainer_config.seed), jnp.ones((1, 8), jnp.int32)
+    )
 
     schedule = warmup_linear_decay(total_steps, trainer_config.warmup_steps, trainer_config.lr, trainer_config.lr_min)
     tx = make_optimizer(
