@@ -354,8 +354,10 @@ def greedy_decode(model: WhisperForASR, variables, mel: jax.Array, max_new_token
 
     def body(state, i):
         tokens, cache, done = state
+        # cur sits at sequence position p + i: its k/v slot and position
+        # embedding both use cache_index p + i (prefill filled 0..p-1)
         cur = jax.lax.dynamic_slice(tokens, (0, p + i), (b, 1))
-        logits, cache = model.apply(variables, cur, cross_kv, cache, p + 1 + i, method="decode_step")
+        logits, cache = model.apply(variables, cur, cross_kv, cache, p + i, method="decode_step")
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
         done = done | (nxt == cfg.eos_token_id)

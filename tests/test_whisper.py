@@ -185,3 +185,35 @@ def test_native_whisper_asr_scorer(tmp_path, models):
     # random weights: near-tie argmax can diverge mid-sequence; require the
     # first generated token to agree and shapes to be sane
     assert ours[1] == theirs[1], (ours[:n], theirs[:n])
+
+
+def test_greedy_decode_matches_manual_step_loop(models):
+    """greedy_decode's schedule must equal a hand-rolled loop of
+    decode_step calls at the known-correct cache indices (prefill fills
+    0..p-1; the token at sequence position q uses cache_index q).  This pins
+    the off-by-one class of bug the first-token check can't see."""
+    import jax
+
+    cfg, _, model, variables = models
+    mel = _mel_input(cfg)
+    prompt = np.asarray([[5, 9], [7, 3]], np.int32)
+    b, p = prompt.shape
+    max_new = 5
+
+    got = np.asarray(W.greedy_decode(model, variables, jnp.asarray(mel), max_new, jnp.asarray(prompt)))
+
+    enc = model.apply(variables, jnp.asarray(mel), method="encode")
+    cross_kv = model.apply(variables, enc, method="cross_kv")
+    cache = model.init_cache(b, p + max_new)
+    logits, cache = model.apply(variables, jnp.asarray(prompt), cross_kv, cache, jnp.asarray(0), method="decode_step")
+    toks = [np.asarray(jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32))]
+    done = toks[0] == cfg.eos_token_id
+    for i in range(max_new - 1):
+        cur = jnp.asarray(toks[-1][:, None], jnp.int32)
+        logits, cache = model.apply(variables, cur, cross_kv, cache, jnp.asarray(p + i), method="decode_step")
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32))
+        nxt = np.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        toks.append(nxt)
+    manual = np.concatenate([np.asarray(prompt)] + [t[:, None] for t in toks], axis=1)
+    np.testing.assert_array_equal(got, manual)
