@@ -450,3 +450,13 @@ def utmos_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
         "proj_out": {"kernel": dense_w(sd["output_layers.1.net.3.weight"]), "bias": _np(sd["output_layers.1.net.3.bias"])},
     }
     return params
+
+
+def stack_whisper_layers(params: Mapping) -> Dict:
+    """Unrolled Whisper params -> scan layout: the encoder's and decoder's
+    ``layers_{i}`` subtrees each become one stacked ``layers`` collection
+    (same mechanics as stack_llama_layers)."""
+    return {
+        "encoder": stack_llama_layers(params["encoder"]),
+        "decoder": stack_llama_layers(params["decoder"]),
+    }

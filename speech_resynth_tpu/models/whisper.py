@@ -166,11 +166,17 @@ class WhisperEncoderLayer(nn.Module):
 
 
 class WhisperEncoder(nn.Module):
-    """log-mel (B, T, mels) -> hidden states (B, T//2, d_model)."""
+    """log-mel (B, T, mels) -> hidden states (B, T//2, d_model).
+
+    ``scan_layers=True`` compiles ONE layer body via ``nn.scan`` instead of
+    unrolling (large-v3 has 32 encoder layers — compile time through the
+    tunnel is minutes unrolled); params get a leading layer axis
+    (convert.stack_whisper_layers translates)."""
 
     config: WhisperConfig
     policy: Policy = DEFAULT
     attn_implementation: str = "auto"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -197,8 +203,22 @@ class WhisperEncoder(nn.Module):
         pos = self.param("embed_positions", lambda key: _sinusoids(cfg.max_source_positions, cfg.d_model))
         x = x + pos[: x.shape[1]].astype(x.dtype)
 
-        for i in range(cfg.encoder_layers):
-            x = WhisperEncoderLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")(x)
+        if self.scan_layers:
+
+            def body(layer, h, _):
+                return layer(h), None
+
+            x, _ = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.encoder_layers,
+            )(WhisperEncoderLayer(cfg, self.policy, self.attn_implementation, name="layers"), x, None)
+        else:
+            for i in range(cfg.encoder_layers):
+                x = WhisperEncoderLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")(x)
         return _ln(self.policy, "layer_norm")(x).astype(self.policy.compute_dtype)
 
 
@@ -241,6 +261,7 @@ class WhisperDecoder(nn.Module):
     config: WhisperConfig
     policy: Policy = DEFAULT
     attn_implementation: str = "auto"
+    scan_layers: bool = False
 
     def setup(self):
         cfg = self.config
@@ -253,10 +274,16 @@ class WhisperDecoder(nn.Module):
             (cfg.max_target_positions, cfg.d_model),
             self.policy.param_dtype,
         )
-        self.layers = [
-            WhisperDecoderLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")
-            for i in range(cfg.decoder_layers)
-        ]
+        if self.scan_layers:
+            # one layer module whose params carry a leading layer axis;
+            # nn.scan slices it per step (cache/cross_kv stack on axis 0)
+            self.layer_module = WhisperDecoderLayer(cfg, self.policy, self.attn_implementation, name="layers")
+            self.layers = ()
+        else:
+            self.layers = [
+                WhisperDecoderLayer(cfg, self.policy, self.attn_implementation, name=f"layers_{i}")
+                for i in range(cfg.decoder_layers)
+            ]
         self.layer_norm = _ln(self.policy, "layer_norm")
         self.proj_out = nn.Dense(
             cfg.vocab_size,
@@ -274,6 +301,43 @@ class WhisperDecoder(nn.Module):
             positions = jnp.arange(input_ids.shape[1])
         x = x + jnp.take(self.embed_positions, positions, axis=0).astype(x.dtype)
 
+        if self.scan_layers:
+            scan = functools.partial(
+                nn.scan,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                out_axes=0,
+                length=self.config.decoder_layers,
+            )
+            if cache is not None:
+
+                def body(layer, h, per_layer):
+                    layer_cache, layer_kv = per_layer
+                    h, new_c = layer(h, None, layer_cache, cache_index, layer_kv)
+                    return h, new_c
+
+                x, new_caches = scan(body)(self.layer_module, x, (cache, cross_kv))
+            elif cross_kv is not None:
+
+                def body(layer, h, layer_kv):
+                    h, _ = layer(h, None, None, None, layer_kv)
+                    return h, None
+
+                x, _ = scan(body)(self.layer_module, x, cross_kv)
+                new_caches = None
+            else:
+
+                def body(layer, h, _):
+                    h, _ = layer(h, enc)
+                    return h, None
+
+                x, _ = scan(body)(self.layer_module, x, None)
+                new_caches = None
+            x = self.layer_norm(x)
+            logits = self.proj_out(x.astype(self.policy.compute_dtype))
+            return logits, new_caches
+
         new_caches = []
         for i, layer in enumerate(self.layers):
             x, new_c = layer(
@@ -289,8 +353,25 @@ class WhisperDecoder(nn.Module):
         logits = self.proj_out(x.astype(self.policy.compute_dtype))
         return logits, (tuple(new_caches) if cache is not None else None)
 
-    def compute_cross_kv(self, enc) -> Tuple[Dict[str, jax.Array], ...]:
-        """Per-layer cross-attention K/V, computed ONCE per utterance."""
+    def compute_cross_kv(self, enc):
+        """Per-layer cross-attention K/V, computed ONCE per utterance.
+
+        Unrolled: a tuple of per-layer dicts; scan mode: one dict stacked on
+        a leading layer axis (matching the stacked cache layout)."""
+        if self.scan_layers:
+
+            def body(layer, carry, _):
+                return carry, layer.cross_kv(carry)
+
+            _, kv = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                out_axes=0,
+                length=self.config.decoder_layers,
+            )(self.layer_module, enc, None)
+            return kv
         return tuple(layer.cross_kv(enc) for layer in self.layers)
 
 
@@ -300,10 +381,15 @@ class WhisperForASR(nn.Module):
     config: WhisperConfig
     policy: Policy = DEFAULT
     attn_implementation: str = "auto"
+    scan_layers: bool = False
 
     def setup(self):
-        self.encoder = WhisperEncoder(self.config, self.policy, self.attn_implementation, name="encoder")
-        self.decoder = WhisperDecoder(self.config, self.policy, self.attn_implementation, name="decoder")
+        self.encoder = WhisperEncoder(
+            self.config, self.policy, self.attn_implementation, self.scan_layers, name="encoder"
+        )
+        self.decoder = WhisperDecoder(
+            self.config, self.policy, self.attn_implementation, self.scan_layers, name="decoder"
+        )
 
     def __call__(self, mel: jax.Array, decoder_input_ids: jax.Array):
         enc = self.encoder(mel)
@@ -323,6 +409,12 @@ class WhisperForASR(nn.Module):
         cfg = self.config
         h, d = cfg.decoder_attention_heads, cfg.d_model // cfg.decoder_attention_heads
         shape = (batch_size, h, max_len, d)
+        if self.scan_layers:
+            stacked = (cfg.decoder_layers,) + shape
+            return {
+                "k": jnp.zeros(stacked, self.policy.compute_dtype),
+                "v": jnp.zeros(stacked, self.policy.compute_dtype),
+            }
         one = lambda: {
             "k": jnp.zeros(shape, self.policy.compute_dtype),
             "v": jnp.zeros(shape, self.policy.compute_dtype),

@@ -90,9 +90,15 @@ class NativeWhisperASR:
             decoder_start_token_id=hf.get("decoder_start_token_id", 50258),
             eos_token_id=hf.get("eos_token_id", 50257),
         )
-        self.model = WhisperForASR(self.config, policy=BF16_INFERENCE)
+        # scan_layers: large-v3 is 32+32 layers — one traced layer body keeps
+        # the first transcription's compile time in seconds, not minutes
+        self.model = WhisperForASR(self.config, policy=BF16_INFERENCE, scan_layers=True)
         sd = _load_hf_state_dict(model_dir)
-        self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, whisper_params(sd))}
+        from ..models.convert import stack_whisper_layers
+
+        self.variables = {
+            "params": jax.tree_util.tree_map(jnp.asarray, stack_whisper_layers(whisper_params(sd)))
+        }
 
         from transformers import AutoTokenizer
 

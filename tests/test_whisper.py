@@ -217,3 +217,24 @@ def test_greedy_decode_matches_manual_step_loop(models):
         toks.append(nxt)
     manual = np.concatenate([np.asarray(prompt)] + [t[:, None] for t in toks], axis=1)
     np.testing.assert_array_equal(got, manual)
+
+
+def test_scan_layers_matches_unrolled(models):
+    """scan_layers=True with stacked params reproduces the unrolled model:
+    teacher-forced logits and the full greedy-decode token sequence."""
+    from speech_resynth_tpu.models.convert import stack_whisper_layers
+
+    cfg, _, model, variables = models
+    scan_model = W.WhisperForASR(cfg, policy=FLOAT32, attn_implementation="xla", scan_layers=True)
+    scan_vars = {"params": stack_whisper_layers(variables["params"])}
+
+    mel = _mel_input(cfg)
+    ids = np.random.default_rng(4).integers(0, cfg.vocab_size, (2, 5)).astype(np.int32)
+    full = np.asarray(model.apply(variables, jnp.asarray(mel), jnp.asarray(ids)))
+    scanned = np.asarray(scan_model.apply(scan_vars, jnp.asarray(mel), jnp.asarray(ids)))
+    np.testing.assert_allclose(scanned, full, rtol=1e-4, atol=1e-5)
+
+    prompt = jnp.asarray([[5, 9], [7, 3]], jnp.int32)
+    t_unrolled = np.asarray(W.greedy_decode(model, variables, jnp.asarray(mel), 5, prompt))
+    t_scan = np.asarray(W.greedy_decode(scan_model, scan_vars, jnp.asarray(mel), 5, prompt))
+    np.testing.assert_array_equal(t_scan, t_unrolled)
