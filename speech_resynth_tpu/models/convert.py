@@ -201,6 +201,36 @@ def unstack_llama_layers(params: Mapping) -> Dict:
     return out
 
 
+def _weight_normed_conv1d(sd: Mapping, base: str) -> np.ndarray:
+    """Reconstruct a torch ``weight_norm(conv, dim=2)`` Conv1d kernel from
+    either the legacy ``weight_g``/``weight_v`` names or the torch>=2.1
+    ``parametrizations.weight.original{0,1}`` names."""
+    if f"{base}.weight_g" in sd:
+        g, v = _np(sd[f"{base}.weight_g"]), _np(sd[f"{base}.weight_v"])
+    else:
+        g = _np(sd[f"{base}.parametrizations.weight.original0"])
+        v = _np(sd[f"{base}.parametrizations.weight.original1"])
+    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))  # norm over (O, I) per tap
+    return conv1d_w(g * v / norm)
+
+
+def _post_ln_block(sd: Mapping, p: str, attn: str, attn_norm: str, ff_in: str, ff_out: str, ff_norm: str) -> Dict:
+    """Shared post-LN transformer block mapping (HuBERT/wav2vec2 layouts
+    differ only in torch key names)."""
+    d = lambda key: {"kernel": dense_w(sd[f"{p}.{key}.weight"]), "bias": _np(sd[f"{p}.{key}.bias"])}
+    ln = lambda key: {"scale": _np(sd[f"{p}.{key}.weight"]), "bias": _np(sd[f"{p}.{key}.bias"])}
+    return {
+        "q_proj": d(f"{attn}.q_proj"),
+        "k_proj": d(f"{attn}.k_proj"),
+        "v_proj": d(f"{attn}.v_proj"),
+        "o_proj": d(f"{attn}.out_proj"),
+        "attn_norm": ln(attn_norm),
+        "ff_in": d(ff_in),
+        "ff_out": d(ff_out),
+        "ff_norm": ln(ff_norm),
+    }
+
+
 def hubert_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     """HF HubertModel state_dict -> our HubertEncoder params.
 
@@ -233,16 +263,7 @@ def hubert_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     }
 
     # conv positional embedding (weight_norm'd conv, groups=16, dim=2)
-    if "encoder.pos_conv_embed.conv.weight_g" in sd:
-        g = _np(sd["encoder.pos_conv_embed.conv.weight_g"])
-        v = _np(sd["encoder.pos_conv_embed.conv.weight_v"])
-    else:  # torch >= 2.1 parametrized names
-        g = _np(sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"])
-        v = _np(sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"])
-    # torch weight_norm(dim=2) for this conv: norm over (O, I) per tap k
-    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
-    w = g * v / norm
-    params["pos_conv_kernel"] = conv1d_w(w)
+    params["pos_conv_kernel"] = _weight_normed_conv1d(sd, "encoder.pos_conv_embed.conv")
     params["pos_conv_bias"] = _np(sd["encoder.pos_conv_embed.conv.bias"])
     params["encoder_norm"] = {
         "scale": _np(sd["encoder.layer_norm.weight"]),
@@ -251,26 +272,15 @@ def hubert_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
 
     i = 0
     while f"encoder.layers.{i}.attention.q_proj.weight" in sd:
-        p = f"encoder.layers.{i}"
-        params[f"layers_{i}"] = {
-            "q_proj": {"kernel": dense_w(sd[f"{p}.attention.q_proj.weight"]), "bias": _np(sd[f"{p}.attention.q_proj.bias"])},
-            "k_proj": {"kernel": dense_w(sd[f"{p}.attention.k_proj.weight"]), "bias": _np(sd[f"{p}.attention.k_proj.bias"])},
-            "v_proj": {"kernel": dense_w(sd[f"{p}.attention.v_proj.weight"]), "bias": _np(sd[f"{p}.attention.v_proj.bias"])},
-            "o_proj": {"kernel": dense_w(sd[f"{p}.attention.out_proj.weight"]), "bias": _np(sd[f"{p}.attention.out_proj.bias"])},
-            "attn_norm": {"scale": _np(sd[f"{p}.layer_norm.weight"]), "bias": _np(sd[f"{p}.layer_norm.bias"])},
-            "ff_norm": {
-                "scale": _np(sd[f"{p}.final_layer_norm.weight"]),
-                "bias": _np(sd[f"{p}.final_layer_norm.bias"]),
-            },
-            "ff_in": {
-                "kernel": dense_w(sd[f"{p}.feed_forward.intermediate_dense.weight"]),
-                "bias": _np(sd[f"{p}.feed_forward.intermediate_dense.bias"]),
-            },
-            "ff_out": {
-                "kernel": dense_w(sd[f"{p}.feed_forward.output_dense.weight"]),
-                "bias": _np(sd[f"{p}.feed_forward.output_dense.bias"]),
-            },
-        }
+        params[f"layers_{i}"] = _post_ln_block(
+            sd,
+            f"encoder.layers.{i}",
+            attn="attention",
+            attn_norm="layer_norm",
+            ff_in="feed_forward.intermediate_dense",
+            ff_out="feed_forward.output_dense",
+            ff_norm="final_layer_norm",
+        )
         i += 1
 
     return params
@@ -378,14 +388,7 @@ def fairseq_wav2vec2_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     }
 
     # conv positional embedding: Sequential(weight_norm conv, SamePad, GELU)
-    if "encoder.pos_conv.0.weight_g" in sd:
-        g = _np(sd["encoder.pos_conv.0.weight_g"])
-        v = _np(sd["encoder.pos_conv.0.weight_v"])
-    else:  # torch >= 2.1 parametrized names
-        g = _np(sd["encoder.pos_conv.0.parametrizations.weight.original0"])
-        v = _np(sd["encoder.pos_conv.0.parametrizations.weight.original1"])
-    norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))  # weight_norm dim=2
-    params["pos_conv_kernel"] = conv1d_w(g * v / norm)
+    params["pos_conv_kernel"] = _weight_normed_conv1d(sd, "encoder.pos_conv.0")
     params["pos_conv_bias"] = _np(sd["encoder.pos_conv.0.bias"])
     params["encoder_norm"] = {
         "scale": _np(sd["encoder.layer_norm.weight"]),
@@ -394,17 +397,15 @@ def fairseq_wav2vec2_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
 
     i = 0
     while f"encoder.layers.{i}.self_attn.q_proj.weight" in sd:
-        p = f"encoder.layers.{i}"
-        params[f"layers_{i}"] = {
-            "q_proj": {"kernel": dense_w(sd[f"{p}.self_attn.q_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.q_proj.bias"])},
-            "k_proj": {"kernel": dense_w(sd[f"{p}.self_attn.k_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.k_proj.bias"])},
-            "v_proj": {"kernel": dense_w(sd[f"{p}.self_attn.v_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.v_proj.bias"])},
-            "o_proj": {"kernel": dense_w(sd[f"{p}.self_attn.out_proj.weight"]), "bias": _np(sd[f"{p}.self_attn.out_proj.bias"])},
-            "attn_norm": {"scale": _np(sd[f"{p}.self_attn_layer_norm.weight"]), "bias": _np(sd[f"{p}.self_attn_layer_norm.bias"])},
-            "ff_in": {"kernel": dense_w(sd[f"{p}.fc1.weight"]), "bias": _np(sd[f"{p}.fc1.bias"])},
-            "ff_out": {"kernel": dense_w(sd[f"{p}.fc2.weight"]), "bias": _np(sd[f"{p}.fc2.bias"])},
-            "ff_norm": {"scale": _np(sd[f"{p}.final_layer_norm.weight"]), "bias": _np(sd[f"{p}.final_layer_norm.bias"])},
-        }
+        params[f"layers_{i}"] = _post_ln_block(
+            sd,
+            f"encoder.layers.{i}",
+            attn="self_attn",
+            attn_norm="self_attn_layer_norm",
+            ff_in="fc1",
+            ff_out="fc2",
+            ff_norm="final_layer_norm",
+        )
         i += 1
 
     return params

@@ -196,9 +196,7 @@ class HubertEncoder(nn.Module):
         if num_samples is not None:
             sample_mask = jnp.arange(wav.shape[-1])[None, :] < num_samples[:, None]
             if frame_mask is None:
-                n_frames = num_samples
-                for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
-                    n_frames = (n_frames - k) // s + 1
+                n_frames = cfg.num_frames(num_samples)
                 frame_mask = jnp.arange(cfg.num_frames(wav.shape[-1]))[None, :] < n_frames[:, None]
         if cfg.do_normalize:
             if sample_mask is None:

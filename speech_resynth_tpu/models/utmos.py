@@ -150,12 +150,7 @@ class UTMOSPredictor(nn.Module):
         demo's per-utterance (batch-1, unpadded) scoring exactly.
         """
         cfg = self.config
-        num_frames = None
-        if num_samples is not None:
-            n = num_samples
-            for k, s in zip(cfg.ssl.conv_kernel, cfg.ssl.conv_stride):
-                n = (n - k) // s + 1
-            num_frames = n
+        num_frames = None if num_samples is None else cfg.ssl.num_frames(num_samples)
         ssl = HubertEncoder(cfg.ssl, self.policy, self.attn_implementation, name="ssl")(
             wav, num_samples=num_samples
         )

@@ -218,22 +218,23 @@ class NativeUTMOS:
         self.config = config_from_params(params)
         self.model = UTMOSPredictor(self.config, policy=policy or BF16_INFERENCE)
         self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
-        # clamp to the checkpoint's table sizes: an OOB id would gather
-        # JAX's NaN fill value and poison every score
-        self.domain_id = min(
-            self.config.default_domain_id if domain_id is None else domain_id, self.config.num_domains - 1
+        # clamp to [0, table size): an OOB id in either direction would
+        # gather JAX's NaN fill value and poison every score
+        self.domain_id = max(
+            0, min(self.config.default_domain_id if domain_id is None else domain_id, self.config.num_domains - 1)
         )
-        self.judge_id = min(
-            self.config.default_judge_id if judge_id is None else judge_id, self.config.num_judges - 1
+        self.judge_id = max(
+            0, min(self.config.default_judge_id if judge_id is None else judge_id, self.config.num_judges - 1)
         )
         ssl_cfg = self.config.ssl
+        model = self.model
 
-        def _score(wav, dom, judge, n_samples):
-            frames = self.model.apply(self.variables, wav, dom, judge, num_samples=n_samples)
-            n = n_samples
-            for k, s in zip(ssl_cfg.conv_kernel, ssl_cfg.conv_stride):
-                n = (n - k) // s + 1
-            return UTMOSPredictor.score_from_frames(frames, num_frames=n)
+        # variables enter as a traced argument, never a closure: closed-over
+        # param trees inline as HLO constants and the tunneled chip's
+        # remote-compile request 413s (CLAUDE.md)
+        def _score(variables, wav, dom, judge, n_samples):
+            frames = model.apply(variables, wav, dom, judge, num_samples=n_samples)
+            return UTMOSPredictor.score_from_frames(frames, num_frames=ssl_cfg.num_frames(n_samples))
 
         self._apply = jax.jit(_score)
 
@@ -247,7 +248,7 @@ class NativeUTMOS:
         n = jnp.asarray([wav.size], jnp.int32)
         dom = jnp.asarray([self.domain_id], jnp.int32)
         judge = jnp.asarray([self.judge_id], jnp.int32)
-        return float(self._apply(jnp.asarray(padded[None]), dom, judge, n)[0])
+        return float(self._apply(self.variables, jnp.asarray(padded[None]), dom, judge, n)[0])
 
 
 class TorchUTMOS:
@@ -282,8 +283,14 @@ def default_asr(config) -> ASRScorer:
         if Path(str(name)).exists():
             try:
                 return NativeWhisperASR(str(name))  # TPU-native decode
-            except Exception:
-                return TorchWhisperASR(str(name))  # host torch fallback
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"NativeWhisperASR could not load {name} ({type(e).__name__}: {e}); "
+                    "falling back to the host-CPU HF pipeline."
+                )
+                return TorchWhisperASR(str(name))
     return NullASR()
 
 
@@ -299,6 +306,12 @@ def default_mos(config) -> MOSScorer:
         if Path(str(path)).exists():
             try:
                 return NativeUTMOS(str(path))  # TPU-native scoring
-            except Exception:
-                return TorchUTMOS(str(path))  # torchscript host fallback
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"NativeUTMOS could not load {path} ({type(e).__name__}: {e}); "
+                    "falling back to host-CPU TorchUTMOS (torchscript)."
+                )
+                return TorchUTMOS(str(path))
     return EnergyMOS()
