@@ -166,3 +166,35 @@ def test_truncated_wav_fmt_chunk_rejected(tmp_path):
 
     with pytest.raises(IOError):
         audio_io.read(p)
+
+
+def test_wav_fuzz_no_crash(tmp_path):
+    """Deterministic fuzz over the C++ WAV reader: truncations, byte flips,
+    and random RIFF-tagged blobs must decode or raise, never crash/overread
+    (ADVICE r1: fmt-chunk bounds checks)."""
+    from speech_resynth_tpu.dsp import audio_io
+
+    rng = np.random.default_rng(1)
+    sr = 16000
+    wav = (rng.standard_normal(1200) * 0.2).astype(np.float32)
+    p = tmp_path / "good.wav"
+    audio_io.write(p, wav, sr)
+    good = p.read_bytes()
+    q = tmp_path / "fuzz.wav"
+
+    cases = [good[:cut] for cut in range(1, len(good), max(1, len(good) // 37))]
+    for _ in range(40):
+        b = bytearray(good)
+        for pos in rng.integers(0, len(b), 3):
+            b[pos] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    for n in (0, 1, 8, 64, 500):
+        cases.append(b"RIFF" + bytes(rng.integers(0, 256, n).tolist()))
+
+    for blob in cases:
+        q.write_bytes(blob)
+        try:
+            y, got_sr = audio_io.read(q)
+            assert y.size <= 10 * 1200
+        except (IOError, OSError):
+            pass

@@ -212,3 +212,32 @@ def test_flac_trailing_junk_tolerated(tmp_path):
     y, sr = audio_io.read(p)
     assert y.shape[0] == 600
     np.testing.assert_allclose(y[:, 0] if y.ndim == 2 else y, pcm / 32768.0, atol=1e-7)
+
+
+def test_flac_fuzz_no_crash(tmp_path):
+    """Deterministic fuzz: truncations and byte-flips of a valid FLAC plus
+    pure-random blobs must either decode or raise IOError — never crash the
+    C++ extension or read out of bounds (ADVICE r1: chunk bounds checks)."""
+    rng = np.random.default_rng(0)
+    pcm = rand_pcm(900, seed=11)
+    good = encode_flac([pcm], subframe="fixed1")
+    p = tmp_path / "fuzz.flac"
+
+    cases = []
+    for cut in range(1, len(good), max(1, len(good) // 37)):  # truncations
+        cases.append(good[:cut])
+    for _ in range(40):  # byte flips
+        b = bytearray(good)
+        for pos in rng.integers(0, len(b), 3):
+            b[pos] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    for n in (0, 1, 3, 16, 333):  # random blobs with a flac magic
+        cases.append(b"fLaC" + bytes(rng.integers(0, 256, n).tolist()))
+
+    for blob in cases:
+        p.write_bytes(blob)
+        try:
+            y, sr = audio_io.read(p)
+            assert y.size <= 16 * 900  # decoded something bounded
+        except (IOError, OSError):
+            pass

@@ -257,3 +257,40 @@ def test_llama_golden_fullsize():
 
     loss = float(causal_lm_loss(logits_j, jnp.asarray(labels, jnp.int32)))
     assert abs(loss - theirs_loss) < 1e-3, (loss, theirs_loss)
+
+
+@pytest.mark.slow
+def test_utmos_golden_fullsize():
+    """Full published UTMOS strong-learner size (wav2vec2-base SSL 95M,
+    3 domains x 128, 3280 judges x 128, BiLSTM 512, projection 2048) vs the
+    in-test torch oracle in the lightning key layout — the MOS scorer the
+    reference clones (SURVEY §2.2 / C23)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_utmos import _TorchOracle
+
+    from speech_resynth_tpu.models import utmos as UT
+    from speech_resynth_tpu.models.convert import utmos_params
+    from speech_resynth_tpu.models.hubert import HubertConfig
+
+    ssl_cfg = HubertConfig()  # wav2vec2-base == hubert-base layout
+    oracle = _TorchOracle(
+        ssl_cfg, num_domains=3, domain_dim=128, num_judges=3280, judge_dim=128, lstm_hidden=512, proj_hidden=2048
+    )
+    params = utmos_params(oracle.lightning_state_dict())
+    ucfg = UT.config_from_params(params)
+    assert ucfg.ssl.hidden_size == 768 and ucfg.num_judges == 3280
+
+    model = UT.UTMOSPredictor(ucfg, policy=FLOAT32)
+    wav = (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(np.float32)
+    frames = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(wav[None]),
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([288], jnp.int32),
+    )
+    ours = float(UT.UTMOSPredictor.score_from_frames(frames)[0])
+    theirs = oracle.score(wav, 0, 288)
+    assert abs(ours - theirs) < 5e-3, (ours, theirs)
