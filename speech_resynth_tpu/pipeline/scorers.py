@@ -91,7 +91,9 @@ class NativeWhisperASR:
             eos_token_id=hf.get("eos_token_id", 50257),
         )
         # scan_layers: large-v3 is 32+32 layers — one traced layer body keeps
-        # the first transcription's compile time in seconds, not minutes
+        # the HLO small.  Measured on the tunneled v5e the first-call latency
+        # is ~140 s either way (weight TRANSFER dominates, benchmarks/
+        # bench_eval.py); scan still wins on program size and trace time.
         self.model = WhisperForASR(self.config, policy=BF16_INFERENCE, scan_layers=True)
         sd = _load_hf_state_dict(model_dir)
         from ..models.convert import stack_whisper_layers
