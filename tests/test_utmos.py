@@ -216,3 +216,26 @@ def test_native_utmos_scorer_roundtrip(tmp_path):
     ours = scorer.score(wav)
     theirs = oracle.score(wav, 0, 5)
     assert abs(ours - theirs) < 2e-3
+
+
+def test_default_mos_selects_native_utmos_from_config(tmp_path):
+    """The evaluate stage's config path (eval.utmos_ckpt) must construct
+    NativeUTMOS for a lightning .ckpt — the TPU-native scorer, not the
+    torchscript fallback or EnergyMOS."""
+    import torch
+
+    from speech_resynth_tpu.core.config import config_from_dict
+    from speech_resynth_tpu.pipeline.scorers import NativeUTMOS, default_mos
+
+    oracle = _TorchOracle(tiny_ssl_cfg())
+    ckpt = tmp_path / "utmos.ckpt"
+    torch.save({"state_dict": oracle.lightning_state_dict()}, ckpt)
+
+    cfg = config_from_dict({"eval": {"utmos_ckpt": str(ckpt)}})
+    mos = default_mos(cfg)
+    assert isinstance(mos, NativeUTMOS)
+    wav = np.random.default_rng(3).standard_normal(1800).astype(np.float32) * 0.1
+    s = mos.score(wav)
+    assert np.isfinite(s)
+    # demo-parity ids: domain 0, mean-listener judge clamped into the table
+    assert mos.domain_id == 0 and mos.judge_id == 9
