@@ -30,21 +30,43 @@ def prefetch(
     ahead on a daemon thread.  Exceptions from the iterator or transform
     re-raise at the consumption site; order is preserved."""
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+
+    def _put(payload) -> bool:
+        # bounded put that gives up when the consumer is gone — otherwise an
+        # abandoned generator (early break) leaves the worker blocked forever
+        # holding prefetched (device) batches
+        while not stop.is_set():
+            try:
+                q.put(payload, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put((None, transform(item) if transform is not None else item))
+                if not _put((None, transform(item) if transform is not None else item)):
+                    return
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put((e, None))
+            _put((e, None))
         else:
-            q.put((None, _SENTINEL))
+            _put((None, _SENTINEL))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        err, item = q.get()
-        if err is not None:
-            raise err
-        if item is _SENTINEL:
-            return
-        yield item
+    try:
+        while True:
+            err, item = q.get()
+            if err is not None:
+                raise err
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -325,3 +325,22 @@ def test_prefetch_order_and_errors():
 
     with pytest.raises(RuntimeError):
         list(prefetch(range(5), transform=lambda x: (_ for _ in ()).throw(RuntimeError("t"))))
+
+
+def test_prefetch_abandoned_generator_releases_worker():
+    """Closing/abandoning the generator early must not leave the worker
+    thread blocked on a full queue holding prefetched batches."""
+    import threading
+    import time
+
+    from speech_resynth_tpu.pipeline.prefetch import prefetch
+
+    base = threading.active_count()
+    for _ in range(5):
+        it = prefetch(range(1000), transform=lambda x: x * 2, depth=2)
+        assert next(it) == 0
+        it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > base and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == base
