@@ -77,9 +77,64 @@ def convert_composite(src: str, dst: str) -> None:
     print(f"wrote {dst}")
 
 
+def convert_utmos(src: str, dst: str) -> None:
+    """Extract the UTMOS lightning checkpoint's state_dict into a plain
+    safetensors file.  The raw .ckpt pickles lightning/hydra objects that
+    need pytorch-lightning to unpickle; the pod only needs the tensors
+    (pipeline/scorers.NativeUTMOS loads either format)."""
+    import torch
+    from safetensors.numpy import save_file
+
+    blob = torch.load(src, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    dst = Path(dst)
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    save_file({k: np.ascontiguousarray(np.asarray(v, np.float32)) for k, v in sd.items()}, str(dst))
+    print(f"wrote {dst}")
+
+
+def convert_whisper(src: str, dst: str) -> None:
+    """Stage an HF Whisper checkpoint dir for NativeWhisperASR: weights as
+    safetensors plus the config/tokenizer/generation files it reads."""
+    import shutil
+
+    src, dst = Path(src), Path(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    wanted = [
+        "config.json",
+        "generation_config.json",
+        "tokenizer.json",
+        "tokenizer_config.json",
+        "vocab.json",
+        "merges.txt",
+        "special_tokens_map.json",
+        "added_tokens.json",
+        "normalizer.json",
+        "preprocessor_config.json",
+    ]
+    for name in wanted:
+        if (src / name).is_file():
+            shutil.copy(src / name, dst / name)
+    copied = False
+    for name in ("model.safetensors", "model.safetensors.index.json"):
+        if (src / name).is_file():
+            shutil.copy(src / name, dst / name)
+            copied = True
+    if (src / "model.safetensors.index.json").is_file():
+        for shard in src.glob("model-*.safetensors"):
+            shutil.copy(shard, dst / shard.name)
+    if not copied:
+        import torch
+        from safetensors.numpy import save_file
+
+        sd = {k: v.numpy() for k, v in torch.load(src / "pytorch_model.bin", map_location="cpu").items()}
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(dst / "model.safetensors"))
+    print(f"wrote {dst}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=("hubert", "kmeans", "composite"))
+    p.add_argument("kind", choices=("hubert", "kmeans", "composite", "utmos", "whisper"))
     p.add_argument("--src", required=True)
     p.add_argument("--name", default="mhubert-base-vp_mls_cv_8lang")
     p.add_argument("--quantizer", default="kmeans-expresso")
@@ -90,6 +145,10 @@ def main() -> None:
         convert_hubert(args.src, args.name, args.out)
     elif args.kind == "kmeans":
         convert_kmeans(args.src, args.name, args.quantizer, args.vocab, args.out)
+    elif args.kind == "utmos":
+        convert_utmos(args.src, args.out if args.out != "models/encoders" else "models/utmos.safetensors")
+    elif args.kind == "whisper":
+        convert_whisper(args.src, args.out if args.out != "models/encoders" else "models/whisper-large-v3")
     else:
         convert_composite(args.src, args.out if args.out != "models/encoders" else "models/flow_matching_with_hifigan")
 

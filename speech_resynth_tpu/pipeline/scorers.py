@@ -208,14 +208,22 @@ class NativeUTMOS:
     def __init__(self, ckpt_path: str, domain_id: int | None = None, judge_id: int | None = None, policy=None):
         import jax
         import jax.numpy as jnp
-        import torch
 
         from ..core.precision import BF16_INFERENCE
         from ..models.convert import utmos_params
         from ..models.utmos import UTMOSPredictor, config_from_params
 
-        blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+        if str(ckpt_path).endswith(".safetensors"):
+            # egress-host export (scripts/convert_checkpoints.py utmos):
+            # plain tensors, no lightning unpickling needed on the pod
+            from safetensors.numpy import load_file
+
+            sd = load_file(str(ckpt_path))
+        else:
+            import torch
+
+            blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
         params = utmos_params(sd)
         self.config = config_from_params(params)
         self.model = UTMOSPredictor(self.config, policy=policy or BF16_INFERENCE)

@@ -239,3 +239,29 @@ def test_default_mos_selects_native_utmos_from_config(tmp_path):
     assert np.isfinite(s)
     # demo-parity ids: domain 0, mean-listener judge clamped into the table
     assert mos.domain_id == 0 and mos.judge_id == 9
+
+
+def test_utmos_safetensors_export_roundtrip(tmp_path):
+    """The egress-host export path (scripts/convert_checkpoints.py utmos ->
+    safetensors) loads through NativeUTMOS without torch unpickling and
+    matches the direct-ckpt scorer."""
+    import sys
+    from pathlib import Path as _P
+
+    import torch
+
+    sys.path.insert(0, str(_P(__file__).parent.parent / "scripts"))
+    from convert_checkpoints import convert_utmos
+
+    from speech_resynth_tpu.pipeline.scorers import NativeUTMOS
+
+    oracle = _TorchOracle(tiny_ssl_cfg())
+    ckpt = tmp_path / "utmos.ckpt"
+    torch.save({"state_dict": oracle.lightning_state_dict()}, ckpt)
+    st = tmp_path / "utmos.safetensors"
+    convert_utmos(str(ckpt), str(st))
+
+    wav = np.random.default_rng(9).standard_normal(2400).astype(np.float32) * 0.1
+    a = NativeUTMOS(str(ckpt), policy=FLOAT32).score(wav)
+    b = NativeUTMOS(str(st), policy=FLOAT32).score(wav)
+    assert abs(a - b) < 1e-5
