@@ -29,6 +29,12 @@ def main():
         default=None,
         help="composite checkpoint dir (models/export.py layout); random weights if omitted",
     )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the steady-state loop into DIR (view with tensorboard)",
+    )
     args = parser.parse_args()
 
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
@@ -70,12 +76,18 @@ def main():
     # then drain each output fully to the host; wall time covers the last
     # byte landing host-side.  This overlaps device compute with host
     # transfer exactly the way a serving loop does; nothing is skipped.
+    if args.profile:
+        from speech_resynth_tpu.core.metrics import start_profiler_trace, stop_profiler_trace
+
+        start_profiler_trace(args.profile)
     iters = 20
     start = time.perf_counter()
     outs = [run(jax.random.key(i + 1)) for i in range(iters)]
     for wav, lengths in outs:
         np.asarray(wav)
     elapsed = time.perf_counter() - start
+    if args.profile:
+        stop_profiler_trace()
 
     audio_seconds = iters * float(jnp.sum(lengths)) / 16000.0
     rtf = audio_seconds / elapsed
