@@ -111,3 +111,28 @@ def local_batch_slice(global_batch_size: int) -> slice:
     per = global_batch_size // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def host_local_copy(tree):
+    """Host-local numpy copy of a pytree of (possibly multi-host global)
+    jax.Arrays — for rank-gated eager work (validation, HF export) that
+    cannot touch non-fully-addressable arrays.
+
+    Fully-addressable and fully-replicated arrays read their local shard /
+    replica without communication; cross-host *sharded* arrays are
+    all-gathered, which is a COLLECTIVE — call this symmetrically on every
+    process, then gate the file writes / eager compute on rank 0.
+    """
+
+    def one(a):
+        if not isinstance(a, jax.Array):
+            return np.asarray(a)
+        if a.is_fully_addressable:
+            return np.asarray(a)
+        if not a.is_fully_replicated:
+            # reshard to replicated (XLA all-gather; correct for ANY layout,
+            # unlike process_allgather's axis-0 concatenation)
+            a = jax.jit(lambda x: x, out_shardings=NamedSharding(a.sharding.mesh, P()))(a)
+        return np.asarray(a.addressable_data(0))
+
+    return jax.tree_util.tree_map(one, tree)

@@ -107,17 +107,7 @@ class ConditionalFlowMatchingWithHifiGan:
         model_config = CFMConfig(
             **{k: m[k] for k in dataclasses.asdict(CFMConfig()).keys() if k in m}
         )
-        v = cfg["vocoder_config"]
-        vocoder_config = HifiGanConfig(
-            model_in_dim=v.get("model_in_dim", 80),
-            upsample_initial_channel=v.get("upsample_initial_channel", 512),
-            upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
-            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
-            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", (3, 7, 11))),
-            resblock_dilation_sizes=tuple(tuple(d) for d in v.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
-            leaky_relu_slope=v.get("leaky_relu_slope", 0.1),
-            normalize_before=v.get("normalize_before", False),
-        )
+        vocoder_config = HifiGanConfig.from_dict(cfg["vocoder_config"])
 
         sd = _load_state_dict(model_dir)
         model_sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
@@ -144,17 +134,7 @@ class ConditionalFlowMatchingWithHifiGan:
             m = json.load(f)
         model_config = CFMConfig(**{k: m[k] for k in dataclasses.asdict(CFMConfig()).keys() if k in m})
         with open(voc_dir / "config.json") as f:
-            v = json.load(f)
-        vocoder_config = HifiGanConfig(
-            model_in_dim=v.get("model_in_dim", 80),
-            upsample_initial_channel=v.get("upsample_initial_channel", 512),
-            upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
-            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
-            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", (3, 7, 11))),
-            resblock_dilation_sizes=tuple(tuple(d) for d in v.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
-            leaky_relu_slope=v.get("leaky_relu_slope", 0.1),
-            normalize_before=v.get("normalize_before", False),
-        )
+            vocoder_config = HifiGanConfig.from_dict(json.load(f))
 
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
         mvars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(_load_state_dict(model_dir)))

@@ -45,6 +45,24 @@ class HifiGanConfig:
     normalize_before: bool = False
     initializer_range: float = 0.01
 
+    @classmethod
+    def from_dict(cls, v: dict) -> "HifiGanConfig":
+        """One parser for every HF-format vocoder config.json consumer
+        (composite.from_pretrained/load_pretrained, training validation) —
+        key drift between copies once silently dropped leaky_relu_slope /
+        normalize_before."""
+        d = cls()
+        return cls(
+            model_in_dim=v.get("model_in_dim", d.model_in_dim),
+            upsample_initial_channel=v.get("upsample_initial_channel", d.upsample_initial_channel),
+            upsample_rates=tuple(v.get("upsample_rates", d.upsample_rates)),
+            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", d.upsample_kernel_sizes)),
+            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", d.resblock_kernel_sizes)),
+            resblock_dilation_sizes=tuple(tuple(x) for x in v.get("resblock_dilation_sizes", d.resblock_dilation_sizes)),
+            leaky_relu_slope=v.get("leaky_relu_slope", d.leaky_relu_slope),
+            normalize_before=v.get("normalize_before", d.normalize_before),
+        )
+
     @property
     def total_upsample(self) -> int:
         return int(np.prod(self.upsample_rates))

@@ -192,7 +192,18 @@ class Attention(nn.Module):
         if rotary_pos is not None:
             q = apply_rotary(rotary_pos, q)
             k = apply_rotary(rotary_pos, k)
-        out = dot_product_attention(q, k, v, mask=mask, implementation=self.attn_implementation)
+        if self.dropout > 0 and not deterministic:
+            # torch SDPA's dropout_p semantics (reference transformer.py:127):
+            # dropout on the softmax probabilities at train time.  Explicit
+            # XLA path — the flash kernel is inference/no-dropout only.
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / (d_head**0.5)
+            if mask is not None:
+                s = jnp.where(mask[:, None, None, :], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            p = nn.Dropout(self.dropout, deterministic=False)(p)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+        else:
+            out = dot_product_attention(q, k, v, mask=mask, implementation=self.attn_implementation)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.hidden_size)
         return nn.Dense(
             self.hidden_size,

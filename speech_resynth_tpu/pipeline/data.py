@@ -29,11 +29,6 @@ from ..dsp import audio_io
 from ..dsp.mel import MEL_PAD_VALUE
 
 
-def shard_for_process(items: Sequence, process_index: int, process_count: int) -> list:
-    """Contiguous-strided shard of a dataset for this host."""
-    return list(items[process_index::process_count])
-
-
 def _global_batch_plan(
     n: int,
     batch_size: int,
@@ -251,8 +246,10 @@ class UnitDataset:
         ):
             examples = [self._example(i, rng) for i in idxs]
             if self.frames_per_seg is not None:
-                L = max(len(e["input_ids"]) for e in examples)
-                N = max(e["spectrogram_labels"].shape[0] for e in examples)
+                # crops collapse every example to exactly frames_per_seg —
+                # static dims keep per-host shards of one global jax.Array in
+                # agreement (a host-local max would desync on any mismatch)
+                L = N = self.frames_per_seg
             else:
                 # variable-length mode: pad dims from GLOBAL metadata (so all
                 # hosts agree), bucketed to bound recompiles
@@ -351,14 +348,19 @@ class MelDataset:
         epoch: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        drop_last: bool = True,
     ) -> Iterator[Dict]:
         """``batch_size`` is the GLOBAL batch (see _global_batch_plan); crop
         shapes are static (frames_per_seg/segment_size) so per-host collation
-        needs no cross-host metadata."""
+        needs no cross-host metadata.  ``drop_last=False`` (validation) keeps
+        the ragged tail and small dev sets instead of silently yielding
+        nothing."""
         rng = np.random.default_rng((seed, epoch, process_index))
         for _, idxs in _global_batch_plan(
-            len(self.names), batch_size, shuffle, seed, epoch, True, process_index, process_count
+            len(self.names), batch_size, shuffle, seed, epoch, drop_last, process_index, process_count
         ):
+            if len(idxs) == 0:
+                continue
             mels, wavs, masks = zip(*(self._example(self.names[i], rng) for i in idxs))
             yield {
                 "mel": np.stack(mels),

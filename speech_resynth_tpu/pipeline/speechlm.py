@@ -133,10 +133,12 @@ def _tokenize_slm21(encoder, tokenizer, out_file, paths, batch_size: int = 8) ->
 def write_scores(model: LlamaLM, variables, in_file, out_file, batch_size: int, num_special_tokens: int = 2) -> None:
     """Pseudo-log-prob 'name score' files (eval.py:70-93 parity)."""
     Path(out_file).parent.mkdir(parents=True, exist_ok=True)
-    score_fn = jax.jit(lambda ids: sequence_pseudo_log_prob(model.apply(variables, ids)[0], ids))
+    # variables as a traced argument, not a closure: a closed-over ~100M-param
+    # tree inlines as HLO constants and 413s the tunneled remote compile
+    score_fn = jax.jit(lambda v, ids: sequence_pseudo_log_prob(model.apply(v, ids)[0], ids))
     with open(out_file, "w") as f:
         for batch in load_named_units_from_json(in_file, batch_size, num_special_tokens):
-            scores = np.asarray(score_fn(batch["input_ids"]))
+            scores = np.asarray(score_fn(variables, batch["input_ids"]))
             for name, score in zip(batch["names"], scores):
                 f.write(f"{name} {score}\n")
 

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from ..core.checkpoint import CheckpointManager
-from ..core.mesh import distributed_init, dp_mesh_for_batch, make_mesh, shard_batch
+from ..core.mesh import distributed_init, dp_mesh_for_batch, host_local_copy, make_mesh, shard_batch
 from ..core.metrics import MetricsWriter, StepTimer, mfu, step_flops, trace_span
 from ..core.rng import RngStream
 from ..models.cfm import CFMConfig
@@ -42,44 +42,46 @@ def _mel_file_list(training_files: str) -> Optional[str]:
         with open(path) as f:
             names = list(json.load(f).keys())
         list_path = path.with_suffix(".filelist")
-        list_path.write_text("\n".join(names) + "\n")
+        # atomic write: multi-host training derives this file on every
+        # process; a reader must never see another writer's partial output
+        import os
+
+        tmp = list_path.with_suffix(f".filelist.tmp{jax.process_index()}")
+        tmp.write_text("\n".join(names) + "\n")
+        os.replace(tmp, list_path)
         return str(list_path)
     return training_files
 
 
-def validate_flow_matching(config, model, state, step: int, writer: MetricsWriter, max_utts: int = 16) -> None:
+def validate_flow_matching(config, model, variables, step: int, writer: MetricsWriter, max_utts: int = 16) -> None:
     """In-training dev synthesis + WER/CER/MOS + audio logging
-    (flow_matching/train.py:24-99 capability, with pluggable scorers)."""
+    (flow_matching/train.py:24-99 capability, with pluggable scorers).
+
+    ``variables`` must be host-local (core.mesh.host_local_copy) — this runs
+    rank-0-only eager compute that cannot touch multi-host global arrays."""
     from .scorers import default_asr, default_mos
     from ..text.normalize import cer, wer
 
     dev_set = UnitDataset(config.dataset.dev_file, wav_dir=config.dataset.wav_dir, ext_audio=config.dataset.ext_audio)
     if len(dev_set) == 0:
         return
-    asr, mos = default_asr(config), default_mos(config)
 
-    vocoder = None
     voc_path = Path(config.hifigan.path) if "hifigan" in config else None
-    voc_config = HifiGanConfig()
-    if voc_path and (voc_path / "config.json").is_file():
-        from ..models.composite import _load_state_dict
-        from ..models.convert import hifigan_generator_params
-        from ..models.hifigan import HifiGanGenerator
+    if not (voc_path and (voc_path / "config.json").is_file()):
+        return  # no vocoder yet -> nothing scoreable; skip the dev sweep
+    from ..models.composite import _load_state_dict
+    from ..models.convert import hifigan_generator_buffers, hifigan_generator_params
+    from ..models.hifigan import HifiGanGenerator
 
-        with open(voc_path / "config.json") as f:
-            v = json.load(f)
-        voc_config = HifiGanConfig(
-            model_in_dim=v.get("model_in_dim", 80),
-            upsample_initial_channel=v.get("upsample_initial_channel", 512),
-            upsample_rates=tuple(v.get("upsample_rates", (5, 4, 4, 2, 2))),
-            upsample_kernel_sizes=tuple(v.get("upsample_kernel_sizes", (10, 9, 8, 4, 4))),
-            resblock_kernel_sizes=tuple(v.get("resblock_kernel_sizes", (3, 7, 11))),
-            resblock_dilation_sizes=tuple(tuple(d) for d in v.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
-        )
-        vocoder = HifiGanGenerator(voc_config)
-        vocoder_vars = {"params": jax.tree_util.tree_map(np.asarray, hifigan_generator_params(_load_state_dict(voc_path)))}
+    with open(voc_path / "config.json") as f:
+        voc_config = HifiGanConfig.from_dict(json.load(f))
+    voc_sd = _load_state_dict(voc_path)
+    vocoder = HifiGanGenerator(voc_config)
+    vocoder_vars = {"params": jax.tree_util.tree_map(np.asarray, hifigan_generator_params(voc_sd))}
+    if voc_config.normalize_before:
+        vocoder_vars["buffers"] = jax.tree_util.tree_map(np.asarray, hifigan_generator_buffers(voc_sd))
 
-    variables = {"params": state.params, "buffers": state.extra}
+    asr, mos = default_asr(config), default_mos(config)
     fm = config.flow_matching
     hyps, refs_text, hyp_scores, ref_scores = [], [], [], []
     done = 0
@@ -92,8 +94,6 @@ def validate_flow_matching(config, model, state, step: int, writer: MetricsWrite
             rng=jax.random.key(0),
             method="sample",
         )
-        if vocoder is None:
-            continue
         wavs = np.asarray(vocoder.apply(vocoder_vars, mels))
         lengths = np.asarray(voc_config.waveform_lengths(mask.sum(axis=1)))
         ref_wavs, ref_lengths = dev_set.wav_batch(batch["names"])
@@ -204,23 +204,29 @@ def train_flow_matching(config) -> None:
                         writer.scalar("train/MFU", mfu(flops_per_step, timer.mean_step_time), step)
 
             if epoch % trainer_config.save_interval_epoch == 0:
+                # symmetric host-local copy first (collective when params are
+                # cross-host sharded), THEN rank-gate the eager work — rank-0
+                # jax compute on global arrays crashes/hangs multi-host runs
+                local_vars = host_local_copy({"params": state.params, "buffers": state.extra})
                 if jax.process_index() == 0:
                     try:
-                        validate_flow_matching(config, model, state, step, writer)
+                        validate_flow_matching(config, model, local_vars, step, writer)
                     except FileNotFoundError:
                         pass
                 ckpt.save(step, state)
-                _export_cfm(config, model_config, state)
+                _export_cfm(config, model_config, local_vars)
     writer.close()
 
 
-def _export_cfm(config, model_config, state) -> None:
-    """HF-format save_pretrained parity (flow_matching/train.py:210)."""
+def _export_cfm(config, model_config, variables) -> None:
+    """HF-format save_pretrained parity (flow_matching/train.py:210).
+    Rank-0 only: concurrent writers corrupt the shared output dir."""
+    if jax.process_index() != 0:
+        return
     import dataclasses
 
     from ..models.export import cfm_state_dict, save_pretrained
 
-    variables = {"params": jax.device_get(state.params), "buffers": jax.device_get(state.extra)}
     save_pretrained(
         Path(config.flow_matching.path) / "hf",
         cfm_state_dict(variables),
@@ -288,6 +294,11 @@ def train_hifigan(config) -> None:
             state = ckpt.restore(state)
         step = int(state.step)
         start_epoch = step // steps_per_epoch
+        # exact mid-epoch resume: batches are deterministic in (seed, epoch),
+        # so skip the ones already consumed before the checkpoint instead of
+        # replaying them (the torch reference replays the whole epoch and its
+        # per-epoch LR schedule drifts; ours stays step-exact)
+        resume_skip = step - start_epoch * steps_per_epoch
 
         def _to_device(batch):
             arrays = {k: batch[k] for k in ("mel", "wav", "mel_mask")}
@@ -301,6 +312,10 @@ def train_hifigan(config) -> None:
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
             )
+            if epoch == start_epoch and resume_skip:
+                import itertools
+
+                batches = itertools.islice(batches, resume_skip, None)
             for sharded in prefetch(batches, transform=_to_device):
                 with trace_span("hifigan_train_step"):
                     state, metrics = step_fn(state, sharded)
@@ -315,20 +330,25 @@ def train_hifigan(config) -> None:
                         writer.scalar("training/MFU", mfu(flops_per_step, timer.mean_step_time), step)
                 if step % trainer_config.checkpoint_interval == 0:
                     ckpt.save(step, state)
-                    _export_hifigan(config, model_config, state)
-                if step % trainer_config.validation_interval == 0 and jax.process_index() == 0:
-                    _validate_hifigan(config, models[0], state, trainer_config, step, writer)
+                    _export_hifigan(config, model_config, host_local_copy(state.gen_params))
+                if step % trainer_config.validation_interval == 0:
+                    gen_local = host_local_copy(state.gen_params)  # symmetric
+                    if jax.process_index() == 0:
+                        _validate_hifigan(config, models[0], gen_local, trainer_config, step, writer)
         ckpt.save(step, state, force=True)
-        _export_hifigan(config, model_config, state)
+        _export_hifigan(config, model_config, host_local_copy(state.gen_params))
     writer.close()
 
 
-def _export_hifigan(config, model_config, state) -> None:
+def _export_hifigan(config, model_config, gen_params) -> None:
     """HF-format generator export (hifigan/train.py:199-201 parity): the
-    saved directory loads with HF FastSpeech2ConformerHifiGan."""
+    saved directory loads with HF FastSpeech2ConformerHifiGan.
+    Rank-0 only: concurrent writers corrupt the shared output dir."""
+    if jax.process_index() != 0:
+        return
     from ..models.export import hifigan_generator_state_dict, save_pretrained
 
-    sd = hifigan_generator_state_dict(jax.device_get(state.gen_params))
+    sd = hifigan_generator_state_dict(gen_params)
     save_pretrained(
         Path(config.hifigan.path),
         sd,
@@ -346,8 +366,10 @@ def _export_hifigan(config, model_config, state) -> None:
     )
 
 
-def _validate_hifigan(config, gen, state, trainer_config, step: int, writer: MetricsWriter, max_utts: int = 32) -> None:
-    """Dev mel-L1 + audio logging (hifigan/train.py:225-252)."""
+def _validate_hifigan(config, gen, gen_params, trainer_config, step: int, writer: MetricsWriter, max_utts: int = 32) -> None:
+    """Dev mel-L1 + audio logging (hifigan/train.py:225-252).
+
+    ``gen_params`` must be host-local (core.mesh.host_local_copy)."""
     from ..dsp.mel import log_mel_spectrogram
 
     dev_list = _mel_file_list(config.dataset.dev_file)
@@ -364,8 +386,8 @@ def _validate_hifigan(config, gen, state, trainer_config, step: int, writer: Met
     if len(dev_set) == 0:
         return
     err_tot, count = 0.0, 0
-    for batch in dev_set.batches(min(8, max_utts), shuffle=False):
-        y_hat = gen.apply({"params": state.gen_params}, batch["mel"])
+    for batch in dev_set.batches(min(8, max_utts), shuffle=False, drop_last=False):
+        y_hat = gen.apply({"params": gen_params}, batch["mel"])
         y_hat_mel = log_mel_spectrogram(
             y_hat, n_fft=trainer_config.n_fft, num_mels=trainer_config.num_mels, hop_size=trainer_config.hop_size
         )
@@ -379,7 +401,8 @@ def _validate_hifigan(config, gen, state, trainer_config, step: int, writer: Met
                 writer.spectrogram_figure(f"generated/y_hat_spec_{j}", np.asarray(y_hat_mel[j]).T, step)
         if count * 8 >= max_utts:
             break
-    writer.scalar("validation/mel_spec_error", err_tot / max(count, 1), step)
+    if count:  # a zero-batch sweep must not log a fake-perfect 0.0
+        writer.scalar("validation/mel_spec_error", err_tot / count, step)
 
 
 def train_speechlm(config) -> None:
@@ -471,18 +494,21 @@ def train_speechlm(config) -> None:
                         writer.scalar("train/MFU", mfu(flops_per_step, timer.mean_step_time), step)
 
             ckpt.save(step, state)
+            # symmetric host-local copy (a COLLECTIVE when TP shards params
+            # across hosts), then rank-0-only export/validation (train.py:211)
+            local_params = host_local_copy(state.params)
             if jax.process_index() == 0:
-                _export_speechlm(config, model_config, state)  # rank-0 save_pretrained (train.py:211)
-                _validate_speechlm(config, model, {"params": state.params}, step, writer, num_special)
+                _export_speechlm(config, model_config, local_params)
+                _validate_speechlm(config, model, {"params": local_params}, step, writer, num_special)
     writer.close()
 
 
-def _export_speechlm(config, model_config, state) -> None:
+def _export_speechlm(config, model_config, params) -> None:
     """HF-format LlamaForCausalLM export (speechlm/train.py:199-213 parity):
-    the saved directory loads with HF transformers."""
+    the saved directory loads with HF transformers.  ``params`` host-local."""
     from ..models.export import llama_state_dict, save_pretrained
 
-    sd = llama_state_dict(jax.device_get(state.params))
+    sd = llama_state_dict(params)
     save_pretrained(
         Path(config.model.path) / "hf",
         sd,
@@ -550,6 +576,10 @@ def eval_speechlm(config) -> None:
         intermediate_size=config.model.intermediate_size,
         num_hidden_layers=config.model.num_hidden_layers,
         num_attention_heads=config.model.num_attention_heads,
+        # keep special-token ids consistent with training's model_config
+        pad_token_id=config.model.pad_token_id or 0,
+        bos_token_id=config.model.get("bos_token_id"),
+        eos_token_id=config.model.get("eos_token_id"),
     )
     model, state, _, _ = make_speechlm_trainer(model_config, SpeechLMTrainerConfig(), mesh, total_steps=1)
     with CheckpointManager(Path(config.model.path) / "ckpt") as ckpt:

@@ -61,6 +61,10 @@ def make_train_step(
 
     def step(state: TrainState, batch, rng):
         buffers = state.extra
+        # the torch reference trains in model.train() mode — dropout active
+        # (modules.py FeedForward dropout); deterministic=True here would
+        # silently ignore configured ff/attn dropout rates
+        k_noise, k_drop = jax.random.split(rng)
 
         def loss_fn(params):
             loss, aux = model.apply(
@@ -68,7 +72,9 @@ def make_train_step(
                 batch["input_ids"],
                 batch["spectrogram_labels"],
                 batch.get("duration_labels"),
-                rng=rng,
+                rng=k_noise,
+                deterministic=False,
+                rngs={"dropout": k_drop},
             )
             return loss, aux
 
