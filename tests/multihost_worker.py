@@ -73,7 +73,24 @@ def main():
         restored = ckpt.restore(state)
         np.testing.assert_allclose(np.asarray(restored["w"]), 7.0)
 
-    out = {"pid": pid, "n_batches": n_batches, "means": means}
+    # host_local_copy: the rank-gated validation/export path.  The replicated
+    # branch reads the local replica; the cross-host sharded branch reshards
+    # to replicated via an XLA collective — every host must reconstruct the
+    # FULL global value.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_resynth_tpu.core.mesh import DATA_AXIS, host_local_copy
+
+    full = np.arange(16, dtype=np.float32).reshape(8, 2)
+    per = 8 // nproc
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(DATA_AXIS)), full[pid * per : (pid + 1) * per]
+    )
+    copies = host_local_copy({"rep": state["w"], "shard": garr})
+    np.testing.assert_allclose(copies["rep"], 7.0)
+    np.testing.assert_allclose(copies["shard"], full)
+
+    out = {"pid": pid, "n_batches": n_batches, "means": means, "shard_sum": float(copies["shard"].sum())}
     (workdir / f"ok_{pid}.json").write_text(json.dumps(out))
     jax.distributed.shutdown()
 

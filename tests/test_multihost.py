@@ -50,3 +50,6 @@ def test_two_process_distributed(tmp_path):
     # the global mean over the assembled global array agrees across hosts
     np.testing.assert_allclose(r0["means"], r1["means"], rtol=1e-6)
     assert (tmp_path / "ckpt").is_dir()
+    # host_local_copy reconstructed the full cross-host-sharded array on BOTH
+    # hosts (sum of arange(16) = 120)
+    assert r0["shard_sum"] == r1["shard_sum"] == 120.0
