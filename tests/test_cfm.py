@@ -181,3 +181,46 @@ def test_composite_duration_prepass(tmp_path):
     # lengths must correspond to the FULL 120-frame expansion, not a clipped one
     expected = voc_cfg.waveform_lengths(jnp.asarray([120]))
     np.testing.assert_array_equal(np.asarray(lengths), np.asarray(expected))
+
+
+def test_dropout_active_in_training_mode():
+    """deterministic=False + dropout rngs must actually drop (the reference
+    trains in model.train() mode); deterministic path stays rng-free."""
+    import jax
+
+    from speech_resynth_tpu.models.cfm import CFMConfig, ConditionalFlowMatchingModel
+    from speech_resynth_tpu.core.precision import FLOAT32
+
+    cfg = CFMConfig(
+        vocab_size=8,
+        dim_in=4,
+        dim_cond_emb=8,
+        hidden_size=8,
+        depth=2,
+        heads=2,
+        intermediate_size=16,
+        conv_pos_embed_kernel_size=3,
+        conv_pos_embed_groups=8,
+        ff_dropout=0.5,
+        attn_dropout=0.5,
+    )
+    model = ConditionalFlowMatchingModel(cfg, policy=FLOAT32, attn_implementation="xla")
+    ids = jnp.ones((2, 6), jnp.int32)
+    mels = jnp.zeros((2, 6, 4), jnp.float32)
+    durs = jnp.ones((2, 6), jnp.int32)
+    variables = model.init({"params": jax.random.key(0)}, ids, mels, durs, rng=jax.random.key(1))
+
+    def loss(drop_key, deterministic):
+        kwargs = dict(rng=jax.random.key(2), deterministic=deterministic)
+        if not deterministic:
+            kwargs["rngs"] = {"dropout": drop_key}
+        out, _ = model.apply(variables, ids, mels, durs, **kwargs)
+        return float(out)
+
+    a = loss(jax.random.key(3), False)
+    b = loss(jax.random.key(4), False)
+    det1 = loss(None, True)
+    det2 = loss(None, True)
+    assert a != b  # different dropout masks -> different losses
+    assert det1 == det2  # deterministic path is rng-free and stable
+    assert det1 not in (a, b)
