@@ -133,14 +133,24 @@ def llama_state_dict(params: Mapping) -> Dict[str, np.ndarray]:
 
 
 def save_pretrained(model_dir: str | Path, state_dict: Dict[str, np.ndarray], config: dict) -> None:
-    """Write config.json + model.safetensors in HF layout."""
+    """Write config.json + model.safetensors in HF layout.
+
+    Writes are atomic (temp + rename): a crash or concurrent reader mid-save
+    must never observe a truncated weights file — these exports are re-read
+    live by in-training validation and by the synthesis/eval stages."""
+    import os
+
     from safetensors.numpy import save_file
 
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
-    with open(model_dir / "config.json", "w") as f:
+    tmp_cfg = model_dir / "config.json.tmp"
+    with open(tmp_cfg, "w") as f:
         json.dump(config, f, indent=2)
-    save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, str(model_dir / "model.safetensors"))
+    os.replace(tmp_cfg, model_dir / "config.json")
+    tmp_st = model_dir / "model.safetensors.tmp"
+    save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, str(tmp_st))
+    os.replace(tmp_st, model_dir / "model.safetensors")
 
 
 def save_composite_pretrained(model_dir: str | Path, cfm_variables, cfm_config, voc_variables, voc_config) -> None:
