@@ -225,3 +225,49 @@ def evaluate(config, model: LlamaLM, variables) -> Optional[pd.DataFrame]:
     if run_zrc(result_dir, "test"):
         return aggregate_slm21_scores(result_dir, "test")
     return None
+
+
+def load_lm_from_hf(model_dir: str, policy=None, scan_layers: bool = False):
+    """Load an HF-format LlamaForCausalLM directory (our training export or
+    any HF Llama checkpoint) back into (LlamaLM, variables).
+
+    Completes the export/import roundtrip: train_loops._export_speechlm
+    writes this layout for the torch ecosystem; this reads it back for
+    TPU-side scoring/decoding without transformers.
+    """
+    import jax.numpy as jnp
+
+    from ..core.precision import BF16_INFERENCE
+    from ..models.convert import llama_params, stack_llama_layers
+    from ..models.llama import LlamaConfig
+
+    model_dir = Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        hf = json.load(f)
+    config = LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        pad_token_id=hf.get("pad_token_id") or 0,
+        bos_token_id=hf.get("bos_token_id"),
+        eos_token_id=hf.get("eos_token_id"),
+    )
+    st = model_dir / "model.safetensors"
+    if st.is_file():
+        from safetensors.numpy import load_file
+
+        sd = load_file(str(st))
+    else:
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(model_dir / "pytorch_model.bin", map_location="cpu").items()}
+    params = llama_params(sd)
+    if scan_layers:
+        params = stack_llama_layers(params)
+    model = LlamaLM(config, policy=policy or BF16_INFERENCE, scan_layers=scan_layers)
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    return model, variables

@@ -143,3 +143,42 @@ def test_speechlm_hf_export_loads_in_torch(tmp_path):
     lm = LlamaLM(model_config, policy=FLOAT32, attn_implementation="xla")
     ours, _ = lm.apply({"params": state.params}, jnp.asarray(ids, jnp.int32))
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-4)
+
+
+def test_load_lm_from_hf_roundtrip(tmp_path):
+    """Training export -> load_lm_from_hf -> identical logits (both layer
+    layouts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_resynth_tpu.core.precision import FLOAT32
+    from speech_resynth_tpu.models.export import llama_state_dict, save_pretrained
+    from speech_resynth_tpu.models.llama import LlamaConfig, LlamaLM
+    from speech_resynth_tpu.pipeline.speechlm import load_lm_from_hf
+
+    cfg = LlamaConfig(vocab_size=32, hidden_size=16, intermediate_size=32, num_hidden_layers=2, num_attention_heads=2)
+    model = LlamaLM(cfg, policy=FLOAT32, attn_implementation="xla")
+    ids = jnp.asarray(np.random.default_rng(0).integers(2, 32, (2, 8)), jnp.int32)
+    variables = model.init(jax.random.key(0), ids)
+    ref = np.asarray(model.apply(variables, ids)[0])
+
+    out = tmp_path / "hf"
+    save_pretrained(
+        out,
+        llama_state_dict(variables["params"]),
+        {
+            "model_type": "llama",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "pad_token_id": 0,
+            "eos_token_id": 1,
+        },
+    )
+    for scan in (False, True):
+        m2, v2 = load_lm_from_hf(str(out), policy=FLOAT32, scan_layers=scan)
+        got = np.asarray(m2.apply(v2, ids)[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
