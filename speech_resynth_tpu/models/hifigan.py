@@ -287,6 +287,7 @@ def generator_apply_fused(
             if (
                 use_pallas_backend
                 and profitable
+                and rk % 2 == 1  # fused kernel assumes symmetric SAME padding
                 and fused_branch_fits(channels, rk, n_pairs, tuple(rd), x.dtype.itemsize)
             ):
                 out = mrf_branch_pallas(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope, interpret=interpret)

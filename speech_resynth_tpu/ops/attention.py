@@ -78,15 +78,29 @@ def attention_reference(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, *, blk_k: int, k_len: int, scale: float, causal: bool, blk_q: int
+    q_ref,
+    k_ref,
+    v_ref,
+    mask_ref,
+    o_ref,
+    *,
+    blk_k: int,
+    k_len: int,
+    scale: float,
+    causal: bool,
+    blk_q: int,
+    causal_offset: int = 0,
 ):
     q = q_ref[0].astype(jnp.float32) * scale  # (blk_q, d)
     num_kb = k_len // blk_k
     qi = pl.program_id(1)
 
     if causal:
-        # only k-blocks at or below the diagonal contribute
-        num_kb = jnp.minimum(num_kb, (qi + 1) * blk_q // blk_k + ((qi + 1) * blk_q % blk_k != 0))
+        # only k-blocks at or below the (offset) diagonal contribute; query i
+        # may attend keys up to i + causal_offset (= k_len - q_len, the
+        # reference's tril offset for cross-length causal attention)
+        hi = (qi + 1) * blk_q + causal_offset
+        num_kb = jnp.clip(hi // blk_k + (hi % blk_k != 0), 0, num_kb)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
@@ -101,7 +115,7 @@ def _flash_kernel(
         if causal:
             q_pos = qi * blk_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = kb * blk_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+            s = jnp.where(q_pos + causal_offset >= k_pos, s, NEG_INF)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -158,7 +172,16 @@ def _flash_forward(
 
     grid = (bh, q_pad // blk_q)
     kernel = functools.partial(
-        _flash_kernel, blk_k=blk_k, k_len=k_pad, scale=scale, causal=causal, blk_q=blk_q
+        _flash_kernel,
+        blk_k=blk_k,
+        k_len=k_pad,
+        scale=scale,
+        causal=causal,
+        blk_q=blk_q,
+        # reference semantics (attention_reference): query i attends keys up
+        # to i + (k_len - q_len) — positions are in UNPADDED coordinates
+        # (padding is appended, so padded coordinates coincide)
+        causal_offset=k_len - q_len,
     )
     out = pl.pallas_call(
         kernel,

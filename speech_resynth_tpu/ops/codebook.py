@@ -54,8 +54,11 @@ def assign_pallas(x: jax.Array, centers: jax.Array, blk_n: int = 256, interpret:
         grid=(n_pad // blk_n,),
         in_specs=[
             pl.BlockSpec((blk_n, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0)),
-            pl.BlockSpec((1, k_pad), lambda i: (0, 0)),
+            # codebook + half-norms are grid-invariant: single-buffer them so
+            # wide codebooks (expresso: 768x2048 f32 = 6 MB) fit in VMEM
+            # instead of doubling under the default pipelining
+            pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0), pipeline_mode=pl.Buffered(1)),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), pipeline_mode=pl.Buffered(1)),
         ],
         out_specs=pl.BlockSpec((blk_n, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),

@@ -168,6 +168,11 @@ def mrf_branch_pallas(
     """Fused branch in (C, T)-layout Pallas; input/output stay NWC."""
     B, T, C = x.shape
     K = w1.shape[1]
+    if K % 2 == 0:
+        # the halo/tap bookkeeping assumes lax SAME's symmetric padding,
+        # which only holds for odd effective kernels (even K pads (p, p+1)
+        # asymmetrically and the tap slices go off by one)
+        raise ValueError(f"fused MRF branch requires odd kernel sizes, got K={K}")
     if t_blk is None:
         t_blk = pick_t_blk(C, K, w1.shape[0], dilations, x.dtype.itemsize)
         if t_blk == 0:

@@ -167,3 +167,21 @@ def test_codebook_pallas_interpret_matches_reference():
     ref = C.assign_reference(x, centers)
     got = C.assign_pallas(x, centers, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("q_len,k_len", [(100, 260), (128, 256), (60, 100)])
+def test_flash_causal_cross_length_matches_reference(q_len, k_len):
+    """Causal attention with k_len != q_len: query i attends keys up to
+    i + (k_len - q_len) (the reference's tril offset).  The kernel's causal
+    mask and block-skip must both honor the offset."""
+    rng = np.random.default_rng(5)
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, q_len, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, k_len, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, k_len, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, k_len)) > 0.2)
+    mask = mask.at[:, 0].set(True)
+
+    ref = A.attention_reference(q, k, v, mask, causal=True)
+    got = A._flash_forward(q, k, v, mask, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
