@@ -369,6 +369,53 @@ class MelDataset:
                 "names": [self.names[i] for i in idxs],
             }
 
+    def padded_batches(
+        self, batch_size: int, multiple: int = 128, max_utts: Optional[int] = None
+    ) -> Iterator[Dict]:
+        """Full-length validation batches (requires ``split=False``).
+
+        The reference validates FULL utterances, not training-style crops
+        (hifigan/train.py:225-252, split=False) — cropped validation mel-L1
+        is not comparable with reference-produced curves.  Utterances are
+        bucketed by mel length padded to a multiple of ``multiple`` frames so
+        each (batch, length) shape compiles once; mel pads with
+        MEL_PAD_VALUE, wav with zeros, ``mel_mask`` marks real frames.  Wav
+        is trimmed/padded to (L_pad-1)*hop + n_fft so the generator-output
+        invariant (its mel has exactly L_pad frames) holds."""
+        assert not self.split, "padded_batches needs a split=False (full-length) dataset"
+        rng = np.random.default_rng(0)
+        names = self.names if max_utts is None else self.names[: int(max_utts)]
+        loaded = [self._example(name, rng) for name in names]
+        n_fft = (self.segment_size - (self.frames_per_seg - 1) * self.hop_size)
+
+        def bucket(frames: int) -> int:
+            return max(multiple, -(-frames // multiple) * multiple)
+
+        order = sorted(range(len(loaded)), key=lambda i: loaded[i][0].shape[0])
+        i = 0
+        while i < len(order):
+            L_pad = bucket(loaded[order[i]][0].shape[0])
+            group = []
+            while i < len(order) and len(group) < batch_size and bucket(loaded[order[i]][0].shape[0]) == L_pad:
+                group.append(order[i])
+                i += 1
+            wav_len = (L_pad - 1) * self.hop_size + n_fft
+            mel = np.full((len(group), L_pad, 80), MEL_PAD_VALUE, np.float32)
+            wav = np.zeros((len(group), wav_len), np.float32)
+            mask = np.zeros((len(group), L_pad), bool)
+            for j, idx in enumerate(group):
+                m, w, _ = loaded[idx]
+                mel[j, : m.shape[0]] = m
+                w = w[:wav_len]
+                wav[j, : len(w)] = w
+                mask[j, : m.shape[0]] = True
+            yield {
+                "mel": mel,
+                "wav": wav,
+                "mel_mask": mask,
+                "names": [names[idx] for idx in group],
+            }
+
 
 # ---------------------------------------------------------------------------
 # speech LM token dataset

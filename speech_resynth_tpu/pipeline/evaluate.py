@@ -37,7 +37,13 @@ def _load_decoder(config) -> ConditionalFlowMatchingWithHifiGan:
     voc_dir = Path(str(config.hifigan.path))
     if (fm_dir / "config.json").is_file() and (voc_dir / "config.json").is_file():
         return ConditionalFlowMatchingWithHifiGan.load_pretrained(str(fm_dir), str(voc_dir))
-    return ConditionalFlowMatchingWithHifiGan.from_pretrained(str(name))
+    raise FileNotFoundError(
+        "no decoder checkpoint found: flow_matching_with_hifigan.name "
+        f"({name!r}) is not a checkpoint directory and the training-export "
+        f"dirs are incomplete ({fm_dir}/config.json and {voc_dir}/config.json "
+        "must both exist — run train_flow_matching and train_hifigan first, "
+        "or point flow_matching_with_hifigan.name at a composite export)"
+    )
 
 
 def evaluate(
@@ -78,15 +84,23 @@ def evaluate(
         refs += asr.transcribe(ref_list)
         transcripts += batch["transcripts"]
 
+    # scorer provenance travels with every score: a smoke run through
+    # NullASR/EnergyMOS must never be mistaken for a NativeWhisperASR/
+    # NativeUTMOS result (WER==1.0 from NullASR looks like a catastrophic
+    # real score otherwise)
+    asr_name, mos_name = type(asr).__name__, type(mos).__name__
     df = pd.DataFrame(
-        [
-            wer(transcripts, hyps),
-            cer(transcripts, hyps),
-            float(np.mean(hyp_scores)) if hyp_scores else float("nan"),
-            wer(transcripts, refs),
-            cer(transcripts, refs),
-            float(np.mean(ref_scores)) if ref_scores else float("nan"),
-        ],
+        {
+            "score": [
+                wer(transcripts, hyps),
+                cer(transcripts, hyps),
+                float(np.mean(hyp_scores)) if hyp_scores else float("nan"),
+                wer(transcripts, refs),
+                cer(transcripts, refs),
+                float(np.mean(ref_scores)) if ref_scores else float("nan"),
+            ],
+            "scorer": [asr_name, asr_name, mos_name, asr_name, asr_name, mos_name],
+        },
         index=["WER (hyp)", "CER (hyp)", "MOS (hyp)", "WER (ref)", "CER (ref)", "MOS (ref)"],
     )
     result_path = Path(config.eval.result_path)

@@ -367,7 +367,12 @@ def _export_hifigan(config, model_config, gen_params) -> None:
 
 
 def _validate_hifigan(config, gen, gen_params, trainer_config, step: int, writer: MetricsWriter, max_utts: int = 32) -> None:
-    """Dev mel-L1 + audio logging (hifigan/train.py:225-252).
+    """Dev mel-L1 + audio logging over FULL utterances
+    (hifigan/train.py:225-252 validates whole files, split=False — cropped
+    validation would make the mel-L1 curve incomparable with reference
+    runs).  Utterances are bucketed by padded length (MelDataset
+    .padded_batches) so each shape compiles once; the L1 is masked to real
+    frames and averaged per-frame across the whole sweep.
 
     ``gen_params`` must be host-local (core.mesh.host_local_copy)."""
     from ..dsp.mel import log_mel_spectrogram
@@ -380,29 +385,33 @@ def _validate_hifigan(config, gen, gen_params, trainer_config, step: int, writer
         trainer_config.segment_size,
         trainer_config.n_fft,
         trainer_config.hop_size,
-        True,  # crop like training so shapes stay static
+        False,  # full-length utterances
         config.dataset.ext_audio,
     )
     if len(dev_set) == 0:
         return
-    err_tot, count = 0.0, 0
-    for batch in dev_set.batches(min(8, max_utts), shuffle=False, drop_last=False):
+    abs_tot, frame_tot, logged = 0.0, 0, 0
+    for batch in dev_set.padded_batches(8, max_utts=max_utts):
         y_hat = gen.apply({"params": gen_params}, batch["mel"])
         y_hat_mel = log_mel_spectrogram(
             y_hat, n_fft=trainer_config.n_fft, num_mels=trainer_config.num_mels, hop_size=trainer_config.hop_size
         )
         diff = np.abs(np.asarray(y_hat_mel) - batch["mel"])
         mask = batch["mel_mask"][..., None]
-        err_tot += float((diff * mask).sum() / max(mask.sum() * diff.shape[-1], 1))
-        count += 1
-        if count == 1:
+        abs_tot += float((diff * mask).sum())
+        frame_tot += int(mask.sum()) * diff.shape[-1]
+        if logged == 0:
+            n_fft = trainer_config.segment_size - (dev_set.frames_per_seg - 1) * trainer_config.hop_size
             for j in range(min(3, y_hat.shape[0])):
-                writer.audio(f"generated/y_hat_{j}", np.asarray(y_hat[j]), step)
-                writer.spectrogram_figure(f"generated/y_hat_spec_{j}", np.asarray(y_hat_mel[j]).T, step)
-        if count * 8 >= max_utts:
-            break
-    if count:  # a zero-batch sweep must not log a fake-perfect 0.0
-        writer.scalar("validation/mel_spec_error", err_tot / count, step)
+                true_frames = int(batch["mel_mask"][j].sum())
+                true_len = (true_frames - 1) * trainer_config.hop_size + n_fft
+                writer.audio(f"generated/y_hat_{j}", np.asarray(y_hat[j][:true_len]), step)
+                writer.spectrogram_figure(
+                    f"generated/y_hat_spec_{j}", np.asarray(y_hat_mel[j][:true_frames]).T, step
+                )
+            logged = 1
+    if frame_tot:  # a zero-batch sweep must not log a fake-perfect 0.0
+        writer.scalar("validation/mel_spec_error", abs_tot / frame_tot, step)
 
 
 def train_speechlm(config) -> None:
@@ -427,7 +436,7 @@ def train_speechlm(config) -> None:
         intermediate_size=config.model.intermediate_size,
         num_hidden_layers=config.model.num_hidden_layers,
         num_attention_heads=config.model.num_attention_heads,
-        pad_token_id=config.model.pad_token_id or 0,
+        pad_token_id=config.model.get("pad_token_id") or 0,
         bos_token_id=config.model.get("bos_token_id"),
         eos_token_id=config.model.get("eos_token_id"),
     )
@@ -577,7 +586,7 @@ def eval_speechlm(config) -> None:
         num_hidden_layers=config.model.num_hidden_layers,
         num_attention_heads=config.model.num_attention_heads,
         # keep special-token ids consistent with training's model_config
-        pad_token_id=config.model.pad_token_id or 0,
+        pad_token_id=config.model.get("pad_token_id") or 0,
         bos_token_id=config.model.get("bos_token_id"),
         eos_token_id=config.model.get("eos_token_id"),
     )

@@ -179,7 +179,11 @@ def test_synthesize_and_evaluate(corpus, tiny_encoder):
     df = evaluate(cfg, decoder=decoder, asr=NullASR(), mos=EnergyMOS())
     assert list(df.index) == ["WER (hyp)", "CER (hyp)", "MOS (hyp)", "WER (ref)", "CER (ref)", "MOS (ref)"]
     assert Path(cfg.eval.result_path).is_file()
-    assert 1.0 <= float(df.loc["MOS (ref)"].iloc[0]) <= 5.0
+    assert 1.0 <= float(df.loc["MOS (ref)", "score"]) <= 5.0
+    # scorer provenance: smoke-mode CSVs are visibly smoke-mode
+    assert df.loc["WER (hyp)", "scorer"] == "NullASR"
+    assert df.loc["MOS (hyp)", "scorer"] == "EnergyMOS"
+    assert "scorer" in Path(cfg.eval.result_path).read_text()
 
 
 def test_speechlm_stages(tmp_path, tiny_encoder):

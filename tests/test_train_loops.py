@@ -123,3 +123,121 @@ def test_cfm_training_loop_and_resume(cfm_corpus):
     train_flow_matching(cfg2)
     steps2 = sorted(int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit())
     assert steps2[-1] == 9, f"resume did not continue: {steps2}"
+
+
+# ---------------------------------------------------------------------------
+# full-length HiFi-GAN validation (VERDICT r2 weak #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mel_corpus(tmp_path):
+    """Real wav files + their exact log-mels, lengths spanning two buckets."""
+    import jax.numpy as jnp
+
+    from speech_resynth_tpu.dsp import audio_io
+    from speech_resynth_tpu.dsp.mel import log_mel_spectrogram
+
+    wav_dir, mel_dir = tmp_path / "wav", tmp_path / "spec"
+    wav_dir.mkdir()
+    mel_dir.mkdir()
+    rng = np.random.default_rng(0)
+    frames = [20, 24, 140]  # pads to 128, 128, 256
+    names = []
+    for i, L in enumerate(frames):
+        n = (L - 1) * 320 + 400
+        t = np.arange(n) / 16000
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        wav += 0.01 * rng.standard_normal(n).astype(np.float32)
+        name = f"u{i}"
+        audio_io.write(wav_dir / f"{name}.wav", wav, 16000)
+        mel = np.asarray(log_mel_spectrogram(jnp.asarray(wav[None]), n_fft=400, num_mels=80, hop_size=320))[0]
+        assert mel.shape[0] == L
+        np.save(mel_dir / f"{name}.npy", mel.astype(np.float32))
+        names.append(name)
+    dev_list = tmp_path / "dev.filelist"
+    dev_list.write_text("\n".join(names) + "\n")
+    return tmp_path, wav_dir, mel_dir, dev_list, frames
+
+
+def test_mel_padded_batches(mel_corpus):
+    from speech_resynth_tpu.dsp.mel import MEL_PAD_VALUE
+    from speech_resynth_tpu.pipeline.data import MelDataset
+
+    tmp_path, wav_dir, mel_dir, dev_list, frames = mel_corpus
+    ds = MelDataset(str(wav_dir), str(mel_dir), str(dev_list), 2640, 400, 320, False, ".wav")
+    batches = list(ds.padded_batches(8, multiple=128))
+    # bucket 128 holds u0+u1, bucket 256 holds u2
+    assert [b["mel"].shape for b in batches] == [(2, 128, 80), (1, 256, 80)]
+    b0 = batches[0]
+    assert b0["wav"].shape == (2, 127 * 320 + 400)
+    assert b0["mel_mask"][0].sum() == 20 and b0["mel_mask"][1].sum() == 24
+    # padded frames carry the sentinel, real frames the true mel
+    assert np.all(b0["mel"][0, 20:] == MEL_PAD_VALUE)
+    assert not np.any(b0["mel"][0, :20] == MEL_PAD_VALUE)
+    # wav beyond the true length is zero
+    assert np.all(b0["wav"][0, 19 * 320 + 400 :] == 0.0)
+    assert np.any(b0["wav"][0, : 19 * 320 + 400] != 0.0)
+
+    ds_crop = MelDataset(str(wav_dir), str(mel_dir), str(dev_list), 2640, 400, 320, True, ".wav")
+    with pytest.raises(AssertionError):
+        next(ds_crop.padded_batches(8))
+
+
+def test_validate_hifigan_full_length(mel_corpus):
+    """_validate_hifigan scores FULL utterances (reference split=False
+    semantics): masked per-frame mel-L1 over every dev utterance, audio
+    logged trimmed to the true length."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_resynth_tpu.core.config import config_from_dict
+    from speech_resynth_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator
+    from speech_resynth_tpu.pipeline.train_loops import _validate_hifigan
+    from speech_resynth_tpu.train.hifigan import HifiGanTrainerConfig
+
+    tmp_path, wav_dir, mel_dir, dev_list, frames = mel_corpus
+    cfg = config_from_dict(
+        {
+            "dataset": {
+                "wav_dir": str(wav_dir),
+                "spectrogram_dir": str(mel_dir),
+                "dev_file": str(dev_list),
+                "ext_audio": ".wav",
+            }
+        }
+    )
+    gcfg = HifiGanConfig(
+        upsample_rates=(5, 4, 4, 2, 2),
+        upsample_kernel_sizes=(10, 9, 8, 4, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        normalize_before=False,
+    )
+    gen = HifiGanGenerator(gcfg)
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 8, 80)))["params"]
+
+    class _Writer:
+        def __init__(self):
+            self.scalars_logged = {}
+            self.audio_logged = {}
+
+        def scalar(self, k, v, step):
+            self.scalars_logged[k] = v
+
+        def audio(self, k, wav, step):
+            self.audio_logged[k] = np.asarray(wav)
+
+        def spectrogram_figure(self, k, mel, step):
+            pass
+
+    writer = _Writer()
+    tc = HifiGanTrainerConfig(segment_size=2640, n_fft=400, hop_size=320)
+    _validate_hifigan(cfg, gen, params, tc, step=1, writer=writer)
+
+    assert "validation/mel_spec_error" in writer.scalars_logged
+    err = writer.scalars_logged["validation/mel_spec_error"]
+    assert np.isfinite(err) and err > 0
+    # first logged audio is the shortest utterance, trimmed to true length
+    assert writer.audio_logged["generated/y_hat_0"].shape[0] == (min(frames) - 1) * 320 + 400
