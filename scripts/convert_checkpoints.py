@@ -89,7 +89,13 @@ def convert_utmos(src: str, dst: str) -> None:
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
     dst = Path(dst)
     dst.parent.mkdir(parents=True, exist_ok=True)
-    save_file({k: np.ascontiguousarray(np.asarray(v, np.float32)) for k, v in sd.items()}, str(dst))
+    def _to_numpy(v):
+        # preserve original dtypes (int/bool buffers survive); only f64/bf16
+        # floats downcast to f32 (bf16 has no numpy dtype, f64 is never wanted)
+        arr = v.float().numpy() if v.dtype in (torch.float64, torch.bfloat16, torch.float16) else v.numpy()
+        return np.ascontiguousarray(arr)
+
+    save_file({k: _to_numpy(v) for k, v in sd.items()}, str(dst))
     print(f"wrote {dst}")
 
 

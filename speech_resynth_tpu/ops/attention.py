@@ -21,6 +21,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional
@@ -147,6 +148,12 @@ def _flash_forward(
 ) -> jax.Array:
     b, h, q_len, d = q.shape
     k_len = k.shape[2]
+    if causal and q_len > k_len:
+        # queries beyond the last key would have zero valid keys; the online
+        # softmax emits zero rows there while attention_reference yields a
+        # uniform softmax over NEG_INF logits — refuse instead of diverging
+        # (auto dispatch routes this shape to XLA; no call site hits it)
+        raise ValueError(f"pallas flash attention requires q_len <= k_len when causal, got {q_len} > {k_len}")
     scale = 1.0 / math.sqrt(d)
 
     # d=64 runs natively (Mosaic packs two 64-wide rows per 128-lane tile
@@ -224,6 +231,24 @@ def _flash_bwd(causal, residuals, g):
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+_IMPL_OVERRIDE: Optional[str] = None
+
+
+@contextlib.contextmanager
+def attention_implementation(impl: Optional[str]):
+    """Force every ``implementation="auto"`` call site to ``impl`` while the
+    context is active (trace-time decision — enter BEFORE jit-compiling the
+    fn under test, and use fresh jitted fns per variant so the jit cache
+    can't serve a trace made under a different override).  A/B harness for
+    whole-program dispatch measurements (benchmarks/bench_train.py --ab)."""
+    global _IMPL_OVERRIDE
+    prev, _IMPL_OVERRIDE = _IMPL_OVERRIDE, impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE = prev
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -238,6 +263,8 @@ def dot_product_attention(
     implementation: "auto" (pallas on TPU where the shape profits, xla
     elsewhere), "pallas", "xla".
     """
+    if implementation == "auto" and _IMPL_OVERRIDE is not None:
+        implementation = _IMPL_OVERRIDE
     if implementation == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # Dispatch driven by IN-CONTEXT measurements on v5e (PARITY.md):
@@ -254,6 +281,8 @@ def dot_product_attention(
             shape_profits = causal and 128 <= n <= 512
         else:
             shape_profits = d % 128 == 0 and n >= 256
+        if causal and n > k.shape[-2]:
+            shape_profits = False  # kernel rejects q_len > k_len causal
         implementation = "pallas" if (on_tpu and shape_profits) else "xla"
     if implementation == "pallas":
         return _flash_attention(q, k, v, mask, causal)

@@ -185,3 +185,22 @@ def test_flash_causal_cross_length_matches_reference(q_len, k_len):
     ref = A.attention_reference(q, k, v, mask, causal=True)
     got = A._flash_forward(q, k, v, mask, causal=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_causal_rejects_q_longer_than_k():
+    """q_len > k_len causal: fully-masked early query rows would emit zeros
+    while the reference yields a uniform softmax — the kernel refuses loudly
+    and auto dispatch must route the shape to XLA (ADVICE r2 #3)."""
+    rng = np.random.default_rng(7)
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, 256, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, 128, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, 128, d)), jnp.float32)
+
+    with pytest.raises(ValueError, match="q_len <= k_len"):
+        A._flash_forward(q, k, v, None, causal=True, interpret=True)
+
+    # auto dispatch: must not raise (falls back to XLA) and must match the ref
+    got = A.dot_product_attention(q, k, v, None, causal=True, implementation="auto")
+    ref = A.attention_reference(q, k, v, None, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
