@@ -8,6 +8,13 @@ reference model sizes.  Prints one JSON line (plus MFU/throughput fields).
 ``vs_baseline`` is measured RTF / 50 (the >=50x-real-time-per-chip north
 star).
 
+Protocol (round 3): ``value`` is the MEDIAN RTF over ``--trials`` (default
+5) independent trials of ``--iters`` (default 20) batches each — fresh RNG
+keys per batch, one compiled program throughout.  ``rtf_min``/``rtf_max``
+give the spread so a single noisy-neighbor reading on this contended 1-core
+host can't masquerade as a regression (readings historically swing ±15%
+with host CPU contention; see PARITY.md bench methodology).
+
 ``--pretrained <dir>`` benches a converted checkpoint directory (our
 composite HF-format layout) instead of random weights — throughput is
 weight-agnostic, but this keeps the bench honest once real weights exist.
@@ -15,6 +22,7 @@ weight-agnostic, but this keeps the bench honest once real weights exist.
 
 import argparse
 import json
+import statistics
 import time
 
 import jax
@@ -35,6 +43,10 @@ def main():
         metavar="DIR",
         help="capture a jax.profiler trace of the steady-state loop into DIR (view with tensorboard)",
     )
+    parser.add_argument("--trials", type=int, default=5, help="independent timed trials; value = median RTF")
+    parser.add_argument("--iters", type=int, default=20, help="batches per trial")
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--units", type=int, default=500, help="units per sequence (500 = 10 s of audio at 50 Hz)")
     args = parser.parse_args()
 
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
@@ -48,7 +60,7 @@ def main():
         decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
 
     vocab = decoder.model.config.vocab_size
-    batch, units_per_seq = 16, 500  # 10 s of audio per sequence at 50 Hz units
+    batch, units_per_seq = args.batch, args.units
     ids = jnp.asarray(np.random.default_rng(0).integers(1, vocab + 1, (batch, units_per_seq)), jnp.int32)
 
     def run(rng):
@@ -76,20 +88,26 @@ def main():
     # then drain each output fully to the host; wall time covers the last
     # byte landing host-side.  This overlaps device compute with host
     # transfer exactly the way a serving loop does; nothing is skipped.
+    # Median over --trials independent repeats, fresh keys per batch.
     if args.profile:
         from speech_resynth_tpu.core.metrics import start_profiler_trace, stop_profiler_trace
 
         start_profiler_trace(args.profile)
-    iters = 20
-    start = time.perf_counter()
-    outs = [run(jax.random.key(i + 1)) for i in range(iters)]
-    for wav, lengths in outs:
-        np.asarray(wav)
-    elapsed = time.perf_counter() - start
+    iters = args.iters
+    audio_seconds = None
+    times = []
+    for t in range(max(1, args.trials)):
+        start = time.perf_counter()
+        outs = [run(jax.random.key(t * iters + i + 1)) for i in range(iters)]
+        for wav, lengths in outs:
+            np.asarray(wav)
+        times.append(time.perf_counter() - start)
+        if audio_seconds is None:
+            audio_seconds = iters * float(jnp.sum(lengths)) / 16000.0
     if args.profile:
         stop_profiler_trace()
 
-    audio_seconds = iters * float(jnp.sum(lengths)) / 16000.0
+    elapsed = statistics.median(times)
     rtf = audio_seconds / elapsed
     peak = device_peak_flops()
     result = {
@@ -97,7 +115,12 @@ def main():
         "value": round(rtf, 2),
         "unit": "x realtime",
         "vs_baseline": round(rtf / 50.0, 3),
+        "trials": len(times),
+        "rtf_min": round(audio_seconds / max(times), 2),
+        "rtf_max": round(audio_seconds / min(times), 2),
         "units_per_sec": round(iters * batch * units_per_seq / elapsed, 1),
+        "batch": batch,
+        "units": units_per_seq,
         "weights": "pretrained" if args.pretrained else "random",
     }
     if flops > 0 and peak > 0:

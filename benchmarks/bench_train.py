@@ -5,9 +5,18 @@ Covers the reference's two resynthesis trainers: the CFM step at the shipped
 config (h=256/d=4, crops of 100 frames — batch scaled to fit one chip's
 honest measurement window) and the HiFi-GAN GAN step (G + MPD + MSD forward/
 backward at segment_size 16080).  Prints one JSON line with both rates.
+
+``--ab`` instead runs the TRAINING-step attention dispatch A/B (VERDICT r2
+weak #3): the whole jitted CFM train step at the reference batch (2700 crops
+x 100 frames, yaml:30-31) and the speech-LM train step (96 x 128), each
+compiled fresh under ``attention_implementation("pallas")`` vs ``("xla")``,
+median-of-N step times.  The verdicts feed the dispatch gates in
+ops/attention.py and the PARITY.md "training, in-context" rows.
 """
 
+import argparse
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -71,7 +80,72 @@ def bench_gan(batch=16, iters=5):
     return batch / dt, dt * 1000
 
 
+def _median_step_ms(step, state, batch_data, *step_args, iters=8, trials=3):
+    """Median step wall-time: warmup (compile) + trials of ``iters`` steps,
+    syncing via host materialization of the loss each step (the tunneled
+    chip's block_until_ready does not synchronize)."""
+    state2, metrics = step(state, batch_data, *step_args)
+    np.asarray(metrics[next(iter(metrics))])
+    xs = []
+    for _ in range(trials):
+        s = state2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, metrics = step(s, batch_data, *step_args)
+            np.asarray(metrics[next(iter(metrics))])
+        xs.append((time.perf_counter() - t0) / iters)
+    return statistics.median(xs) * 1000
+
+
+def bench_ab(cfm_batch=2700, cfm_frames=100, lm_batch=96, lm_seq=128):
+    """Whole-train-step pallas-vs-XLA attention A/B at reference shapes."""
+    from speech_resynth_tpu.core.mesh import make_mesh
+    from speech_resynth_tpu.models.cfm import CFMConfig
+    from speech_resynth_tpu.models.llama import LlamaConfig
+    from speech_resynth_tpu.ops.attention import attention_implementation
+    from speech_resynth_tpu.train.cfm import CFMTrainerConfig, make_trainer
+    from speech_resynth_tpu.train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    cfm_data = {
+        "input_ids": rng.integers(1, 2001, (cfm_batch, cfm_frames)).astype(np.int32),
+        "duration_labels": np.ones((cfm_batch, cfm_frames), np.int32),
+        "spectrogram_labels": rng.standard_normal((cfm_batch, cfm_frames, 80)).astype(np.float32),
+    }
+    ids = rng.integers(4, 2004, (lm_batch, lm_seq)).astype(np.int32)
+    lm_data = {"input_ids": ids, "attention_mask": np.ones_like(ids), "labels": ids.astype(np.int32)}
+
+    rows = []
+    for impl in ("pallas", "xla"):
+        with attention_implementation(impl):
+            _, state, step_fn, _ = make_trainer(
+                CFMConfig(vocab_size=2000), CFMTrainerConfig(batch_size=cfm_batch), mesh, total_steps=1000
+            )
+            ms = _median_step_ms(step_fn, state, cfm_data, jax.random.key(0))
+            rows.append({"step": "cfm_train", "impl": impl, "batch": [cfm_batch, cfm_frames], "step_ms": round(ms, 1)})
+            print(json.dumps(rows[-1]), flush=True)
+            del state, step_fn
+
+            # shipped speech-LM size (configs/speechlm/*.yaml:26-29)
+            lm_cfg = LlamaConfig(vocab_size=2004, hidden_size=768, intermediate_size=3072, num_hidden_layers=12, num_attention_heads=12)
+            _, state, step_fn, _ = make_speechlm_trainer(
+                lm_cfg, SpeechLMTrainerConfig(batch_size=lm_batch), mesh, total_steps=1000
+            )
+            ms = _median_step_ms(step_fn, state, lm_data)
+            rows.append({"step": "lm_train", "impl": impl, "batch": [lm_batch, lm_seq], "step_ms": round(ms, 1)})
+            print(json.dumps(rows[-1]), flush=True)
+            del state, step_fn
+    return rows
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ab", action="store_true", help="attention dispatch A/B on the train steps")
+    args = parser.parse_args()
+    if args.ab:
+        bench_ab()
+        return
     cfm_eps, cfm_ms = bench_cfm()
     gan_eps, gan_ms = bench_gan()
     print(

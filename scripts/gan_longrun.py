@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Long-horizon HiFi-GAN stability run (VERDICT r2 next-round #4).
+
+The reference's production schedule is ~1M steps / 181 epochs
+(/root/reference/src/hifigan/train.py:264-281, yaml:68-73); the longest run
+demonstrated on-chip before round 3 was 1,800 steps.  This harness drives
+the REAL training loop (pipeline.train_loops.train_hifigan — bf16 LSGAN,
+in-step spectral-norm power iteration, per-epoch LR decay, Orbax
+checkpoints) for tens of thousands of steps at FULL-width discriminators
+(MPD {2,3,5,7,11} + MSD) on the synthetic formant corpus, then extracts the
+committed evidence:
+
+  run          50k-step (default) training run; re-running the same command
+               resumes from the last checkpoint, so driver restarts are free
+  report       parse the TensorBoard event files -> GAN_LONGRUN.md curve
+               table (loss_gen/loss_disc/mel L1/LR/steps-sec + drift notes)
+  resume-check kill -9 the trainer mid-epoch at a checkpoint boundary, then
+               resume and verify the final generator/discriminator params
+               are BYTE-IDENTICAL to an uninterrupted control run (the
+               loop's deterministic (seed, epoch) batch order + mid-epoch
+               resume_skip make this exact; train_loops.py:296-318)
+
+Usage: python scripts/gan_longrun.py run /tmp/gan50k --steps 50000
+"""
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _build_corpus(workdir: Path, n_utts: int):
+    """Formant corpus with utterances long enough for production crops
+    (segment_size 16080 = 50 frames at hop 320): 40-80 units x 4 frames
+    -> 160-320 mel frames (3.2-6.4 s) per utterance."""
+    from speech_resynth_tpu.pipeline.synthetic import make_formant_corpus
+
+    corpus_dir = workdir / "corpus"
+    if (corpus_dir / "train.json").is_file():
+        return {
+            "wav_dir": corpus_dir / "wavs",
+            "spec_dir": corpus_dir / "spec",
+            "train_file": corpus_dir / "train.json",
+        }
+    return make_formant_corpus(corpus_dir, n_utts=n_utts, units_per_utt=(40, 80), frames_per_unit=4, seed=0)
+
+
+def _gan_config(run_dir: Path, corpus, args):
+    """Production-shape config: full-width G (512 initial channels, kernels
+    {3,7,11}, dilations {1,3,5}) + full MPD/MSD, reference hyperparameters
+    (configs/resynth/mhubert-expresso-2000.yaml:69-79)."""
+    from speech_resynth_tpu.core.config import config_from_dict
+
+    return config_from_dict(
+        {
+            "dataset": {
+                "wav_dir": str(corpus["wav_dir"]),
+                "spectrogram_dir": str(corpus["spec_dir"]),
+                "train_file": str(corpus["train_file"]),
+                "dev_file": str(corpus["train_file"]),
+                "ext_audio": ".wav",
+            },
+            "hifigan": {
+                "path": str(run_dir),
+                "batch_size": args.batch,
+                "segment_size": 16080,
+                "training_epochs": args.epochs,
+                "learning_rate": 2e-4,
+                "adam_b1": 0.8,
+                "adam_b2": 0.99,
+                "lr_decay": 0.999,
+                "seed": 1234,
+                "n_fft": 400,
+                "hop_size": 320,
+                "upsample_rates": [5, 4, 4, 2, 2],
+                "upsample_kernel_sizes": [10, 9, 8, 4, 4],
+                "stdout_interval": 500,
+                "summary_interval": args.summary_interval,
+                "checkpoint_interval": args.ckpt_interval,
+                "validation_interval": args.val_interval,
+            },
+        }
+    )
+
+
+def _steps_per_epoch(n_utts: int, batch: int) -> int:
+    return max(n_utts // batch, 1)
+
+
+def cmd_run(args):
+    from speech_resynth_tpu.pipeline.train_loops import train_hifigan
+
+    workdir = Path(args.workdir)
+    corpus = _build_corpus(workdir, args.n_utts)
+    spe = _steps_per_epoch(args.n_utts, args.batch)
+    if args.epochs is None:
+        args.epochs = -(-args.steps // spe)
+    print(f"[gan_longrun] {args.epochs} epochs x {spe} steps/epoch -> {args.epochs * spe} steps", flush=True)
+    t0 = time.time()
+    train_hifigan(_gan_config(workdir / args.run_name, corpus, args))
+    print(f"[gan_longrun] done in {time.time() - t0:.0f}s", flush=True)
+
+
+def _scalars(log_dir: Path):
+    from tensorboard.backend.event_processing.event_accumulator import EventAccumulator
+
+    acc = EventAccumulator(str(log_dir), size_guidance={"scalars": 0})
+    acc.Reload()
+    return {tag: [(e.step, e.value) for e in acc.Scalars(tag)] for tag in acc.Tags()["scalars"]}
+
+
+def cmd_report(args):
+    workdir = Path(args.workdir)
+    scal = _scalars(workdir / "run" / "logs")
+    keys = [k for k in ("training/loss_gen", "training/loss_disc", "training/mel_error", "training/lr", "training/steps_per_sec", "training/MFU", "validation/mel_spec_error") if k in scal]
+    # downsample each curve to ~20 evenly spaced rows keyed by step
+    steps = sorted({s for k in keys for s, _ in scal[k]})
+    picks = steps[:: max(1, len(steps) // 20)]
+    by_step = {k: dict(scal[k]) for k in keys}
+
+    lines = ["| step | " + " | ".join(k.split("/")[-1] for k in keys) + " |",
+             "|---" * (len(keys) + 1) + "|"]
+    for s in picks:
+        row = [f"{by_step[k].get(s, float('nan')):.4g}" if isinstance(by_step[k].get(s), float) else "" for k in keys]
+        lines.append(f"| {s} | " + " | ".join(row) + " |")
+    print("\n".join(lines))
+    out = workdir / "report.md"
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+def _hash_tree(path: Path) -> str:
+    """Order-stable hash of every array in an Orbax checkpoint dir's final
+    exported safetensors (model.safetensors under the run dir)."""
+    import hashlib
+
+    from safetensors.numpy import load_file
+
+    sd = load_file(str(path))
+    h = hashlib.sha256()
+    for k in sorted(sd):
+        h.update(k.encode())
+        h.update(sd[k].tobytes())
+    return h.hexdigest()
+
+
+def cmd_resume_check(args):
+    """Control run (2 epochs uninterrupted) vs kill-at-mid-epoch + resume;
+    final exported generator params must hash identically."""
+    workdir = Path(args.workdir)
+    corpus = _build_corpus(workdir, args.n_utts)
+    spe = _steps_per_epoch(args.n_utts, args.batch)
+    total_epochs = 2
+    kill_step = spe + spe // 2  # mid-epoch of epoch 2 -> exercises resume_skip
+    base = [sys.executable, __file__, "run", str(workdir), "--batch", str(args.batch),
+            "--n-utts", str(args.n_utts), "--epochs", str(total_epochs),
+            "--summary-interval", "1000000", "--val-interval", "1000000"]
+
+    def child(run_name, ckpt_interval, env=None):
+        cmd = base + ["--ckpt-interval", str(ckpt_interval), "--run-name", run_name]
+        return subprocess.Popen(cmd, env={**os.environ, **(env or {})})
+
+    # control: uninterrupted, same mid-run checkpoint cadence so any
+    # checkpoint-save side effect is identical in both runs
+    print(f"[resume-check] control: {total_epochs} epochs = {total_epochs * spe} steps", flush=True)
+    p = child("control", kill_step)
+    assert p.wait() == 0
+
+    # interrupted: kill -9 as soon as the mid-epoch checkpoint lands
+    p = child("interrupted", kill_step)
+    ckpt_marker = workdir / "interrupted" / "ckpt" / str(kill_step)
+    while p.poll() is None and not ckpt_marker.is_dir():
+        time.sleep(2)
+    if p.poll() is None:
+        time.sleep(3)  # let the async checkpoint commit
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait()
+        print(f"[resume-check] killed trainer at step {kill_step}", flush=True)
+    else:
+        raise SystemExit("trainer finished before the kill checkpoint appeared")
+    p = child("interrupted", kill_step)
+    assert p.wait() == 0
+
+    h_control = _hash_tree(workdir / "control" / "model.safetensors")
+    h_resumed = _hash_tree(workdir / "interrupted" / "model.safetensors")
+    verdict = {"kill_step": kill_step, "total_steps": total_epochs * spe,
+               "control_sha256": h_control[:16], "resumed_sha256": h_resumed[:16],
+               "step_exact": h_control == h_resumed}
+    print(json.dumps(verdict))
+    (workdir / "resume_check.json").write_text(json.dumps(verdict))
+    assert h_control == h_resumed, "resumed run diverged from uninterrupted control"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "report", "resume-check"):
+        s = sub.add_parser(name)
+        s.add_argument("workdir")
+        s.add_argument("--steps", type=int, default=50000)
+        s.add_argument("--epochs", type=int, default=None)
+        s.add_argument("--batch", type=int, default=16)
+        s.add_argument("--n-utts", type=int, default=512)
+        s.add_argument("--ckpt-interval", type=int, default=5000)
+        s.add_argument("--val-interval", type=int, default=5000)
+        s.add_argument("--summary-interval", type=int, default=100)
+        s.add_argument("--run-name", default="run")
+    args = parser.parse_args()
+    if args.cmd == "run":
+        cmd_run(args)
+    elif args.cmd == "report":
+        cmd_report(args)
+    else:
+        cmd_resume_check(args)
+
+
+if __name__ == "__main__":
+    main()
