@@ -51,13 +51,20 @@ def main():
             wav, lengths = run(0)  # compile
             np.asarray(wav)
             audio_sec = args.iters * float(jnp.sum(lengths)) / 16000.0
-            times = []
+            times, ctimes = [], []
             for t in range(args.trials):
                 t0 = time.perf_counter()
                 outs = [run(t * args.iters + i + 1) for i in range(args.iters)]
                 for w, l in outs:
                     np.asarray(w)
                 times.append(time.perf_counter() - t0)
+            # compute-only (sync via 1-element slice): where batch/length
+            # tuning actually shows — the full protocol is D2H-wire-bound
+            for t in range(args.trials):
+                t0 = time.perf_counter()
+                outs = [run(1000 + t * args.iters + i) for i in range(args.iters)]
+                np.asarray(outs[-1][0][0, :1])
+                ctimes.append(time.perf_counter() - t0)
             med = statistics.median(times)
             print(
                 json.dumps(
@@ -67,6 +74,7 @@ def main():
                         "rtf_median": round(audio_sec / med, 1),
                         "rtf_min": round(audio_sec / max(times), 1),
                         "rtf_max": round(audio_sec / min(times), 1),
+                        "compute_rtf_median": round(audio_sec / statistics.median(ctimes), 1),
                         "trials": args.trials,
                     }
                 ),
