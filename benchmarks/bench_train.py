@@ -83,22 +83,33 @@ def bench_gan(batch=16, iters=5):
 def _median_step_ms(step, state, batch_data, *step_args, iters=8, trials=3):
     """Median step wall-time: warmup (compile) + trials of ``iters`` steps,
     syncing via host materialization of the loss each step (the tunneled
-    chip's block_until_ready does not synchronize)."""
-    state2, metrics = step(state, batch_data, *step_args)
+    chip's block_until_ready does not synchronize).
+
+    The state must thread CONTINUOUSLY through every call — step fns donate
+    their state argument, so re-feeding a previous state object hands the
+    runtime deleted buffers (INVALID_ARGUMENT at dispatch)."""
+    state, metrics = step(state, batch_data, *step_args)
     np.asarray(metrics[next(iter(metrics))])
     xs = []
     for _ in range(trials):
-        s = state2
         t0 = time.perf_counter()
         for _ in range(iters):
-            s, metrics = step(s, batch_data, *step_args)
+            state, metrics = step(state, batch_data, *step_args)
             np.asarray(metrics[next(iter(metrics))])
         xs.append((time.perf_counter() - t0) / iters)
     return statistics.median(xs) * 1000
 
 
-def bench_ab(cfm_batch=2700, cfm_frames=100, lm_batch=96, lm_seq=128):
-    """Whole-train-step pallas-vs-XLA attention A/B at reference shapes."""
+def bench_ab(cfm_batch=2700, cfm_frames=100, lm_batch=96, lm_seq=128, steps="cfm,lm"):
+    """Whole-train-step pallas-vs-XLA attention A/B at reference shapes.
+
+    XLA runs first; each (step, impl) cell is isolated in try/except so a
+    failing cell is recorded as data instead of killing the sweep.
+    Measured verdicts (v5e, round 3): CFM 2700x100 xla 2022 / pallas
+    1990 ms (parity — auto routes n=100 to XLA); LM 96x128 xla 110 /
+    pallas 121 ms (XLA wins TRAINING while inference scoring at the same
+    shape keeps the pallas win — the speechlm trainer therefore pins
+    attn_implementation="xla")."""
     from speech_resynth_tpu.core.mesh import make_mesh
     from speech_resynth_tpu.models.cfm import CFMConfig
     from speech_resynth_tpu.models.llama import LlamaConfig
@@ -116,35 +127,48 @@ def bench_ab(cfm_batch=2700, cfm_frames=100, lm_batch=96, lm_seq=128):
     ids = rng.integers(4, 2004, (lm_batch, lm_seq)).astype(np.int32)
     lm_data = {"input_ids": ids, "attention_mask": np.ones_like(ids), "labels": ids.astype(np.int32)}
 
-    rows = []
-    for impl in ("pallas", "xla"):
-        with attention_implementation(impl):
-            _, state, step_fn, _ = make_trainer(
-                CFMConfig(vocab_size=2000), CFMTrainerConfig(batch_size=cfm_batch), mesh, total_steps=1000
-            )
-            ms = _median_step_ms(step_fn, state, cfm_data, jax.random.key(0))
-            rows.append({"step": "cfm_train", "impl": impl, "batch": [cfm_batch, cfm_frames], "step_ms": round(ms, 1)})
-            print(json.dumps(rows[-1]), flush=True)
-            del state, step_fn
+    def cfm_cell(impl):
+        _, state, step_fn, _ = make_trainer(
+            CFMConfig(vocab_size=2000), CFMTrainerConfig(batch_size=cfm_batch), mesh, total_steps=1000
+        )
+        return _median_step_ms(step_fn, state, cfm_data, jax.random.key(0))
 
-            # shipped speech-LM size (configs/speechlm/*.yaml:26-29)
-            lm_cfg = LlamaConfig(vocab_size=2004, hidden_size=768, intermediate_size=3072, num_hidden_layers=12, num_attention_heads=12)
-            _, state, step_fn, _ = make_speechlm_trainer(
-                lm_cfg, SpeechLMTrainerConfig(batch_size=lm_batch), mesh, total_steps=1000
-            )
-            ms = _median_step_ms(step_fn, state, lm_data)
-            rows.append({"step": "lm_train", "impl": impl, "batch": [lm_batch, lm_seq], "step_ms": round(ms, 1)})
+    def lm_cell(impl):
+        # shipped speech-LM size (configs/speechlm/*.yaml:26-29)
+        lm_cfg = LlamaConfig(vocab_size=2004, hidden_size=768, intermediate_size=3072, num_hidden_layers=12, num_attention_heads=12)
+        # attn_implementation="auto" so the attention_implementation()
+        # override reaches the call sites (the trainer default pins "xla")
+        _, state, step_fn, _ = make_speechlm_trainer(
+            lm_cfg, SpeechLMTrainerConfig(batch_size_per_device=lm_batch, attn_implementation="auto"), mesh, total_steps=1000
+        )
+        return _median_step_ms(step_fn, state, lm_data)
+
+    cells = []
+    if "cfm" in steps:
+        cells.append(("cfm_train", [cfm_batch, cfm_frames], cfm_cell))
+    if "lm" in steps:
+        cells.append(("lm_train", [lm_batch, lm_seq], lm_cell))
+
+    rows = []
+    for impl in ("xla", "pallas"):
+        for name, shape, cell in cells:
+            with attention_implementation(impl):
+                try:
+                    ms = cell(impl)
+                    rows.append({"step": name, "impl": impl, "batch": shape, "step_ms": round(ms, 1)})
+                except Exception as e:  # noqa: BLE001 — failures are data here
+                    rows.append({"step": name, "impl": impl, "batch": shape, "error": f"{type(e).__name__}: {str(e)[:150]}"})
             print(json.dumps(rows[-1]), flush=True)
-            del state, step_fn
     return rows
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ab", action="store_true", help="attention dispatch A/B on the train steps")
+    parser.add_argument("--ab-steps", default="cfm,lm", help="comma list of cells: cfm,lm")
     args = parser.parse_args()
     if args.ab:
-        bench_ab()
+        bench_ab(steps=args.ab_steps)
         return
     cfm_eps, cfm_ms = bench_cfm()
     gan_eps, gan_ms = bench_gan()

@@ -44,6 +44,10 @@ class SpeechLMTrainerConfig:
     # so long sequences shard over the model axis between layers (GSPMD
     # inserts the collectives); numerics are unchanged — layout only
     sequence_parallel: bool = False
+    # "xla" by measurement (whole-train-step A/B, bench_train.py --ab):
+    # XLA's fused fwd+bwd beats flash-fwd + recompute-bwd at 96x128 on v5e.
+    # Set "auto" to re-run the A/B through attention_implementation().
+    attn_implementation: str = "xla"
 
 
 # TP layout lives with the rest of the parallelism logic; kept as
@@ -63,7 +67,18 @@ def make_speechlm_trainer(
         from ..core.mesh import DATA_AXIS
 
         hidden_sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
-    model = LlamaLM(model_config, policy=policy, hidden_sharding=hidden_sharding)
+    # training pins XLA attention by default: the whole-train-step A/B at the
+    # shipped shape (96x128, benchmarks/bench_train.py --ab, v5e) measured
+    # XLA 110 ms vs pallas 121 ms — the flash fwd + recompute backward loses
+    # to XLA's fused fwd+bwd here, while INFERENCE scoring at the same shape
+    # keeps the pallas win (+7%, bench_lm.py); same shape, opposite
+    # in-context verdicts
+    model = LlamaLM(
+        model_config,
+        policy=policy,
+        hidden_sharding=hidden_sharding,
+        attn_implementation=trainer_config.attn_implementation,
+    )
     # init with an unconstrained twin: the eager init batch (1, 8) need not
     # be divisible by the mesh; the param tree is identical either way
     variables = LlamaLM(model_config, policy=policy).init(
