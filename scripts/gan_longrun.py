@@ -38,17 +38,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def _build_corpus(workdir: Path, n_utts: int):
     """Formant corpus with utterances long enough for production crops
     (segment_size 16080 = 50 frames at hop 320): 40-80 units x 4 frames
-    -> 160-320 mel frames (3.2-6.4 s) per utterance."""
-    from speech_resynth_tpu.pipeline.synthetic import make_formant_corpus
+    -> 160-320 mel frames (3.2-6.4 s) per utterance.
 
+    Built in a CPU-platform subprocess: the mel cache computes one jitted
+    program per distinct utterance length, and on the tunneled axon backend
+    each of those ~160 shapes is a multi-second REMOTE compile (measured:
+    ~7 utts/min) — on host CPU the whole corpus takes under two minutes."""
     corpus_dir = workdir / "corpus"
-    if (corpus_dir / "train.json").is_file():
-        return {
-            "wav_dir": corpus_dir / "wavs",
-            "spec_dir": corpus_dir / "spec",
-            "train_file": corpus_dir / "train.json",
-        }
-    return make_formant_corpus(corpus_dir, n_utts=n_utts, units_per_utt=(40, 80), frames_per_unit=4, seed=0)
+    if not (corpus_dir / "train.json").is_file():
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "from speech_resynth_tpu.pipeline.synthetic import make_formant_corpus\n"
+            "make_formant_corpus(%r, n_utts=%d, units_per_utt=(40, 80), frames_per_unit=4, seed=0)\n"
+        ) % (str(Path(__file__).resolve().parent.parent), str(corpus_dir), n_utts)
+        subprocess.run([sys.executable, "-c", code], check=True)
+    return {
+        "wav_dir": corpus_dir / "wavs",
+        "spec_dir": corpus_dir / "spec",
+        "train_file": corpus_dir / "train.json",
+    }
 
 
 def _gan_config(run_dir: Path, corpus, args):
@@ -156,7 +165,10 @@ def cmd_resume_check(args):
     workdir = Path(args.workdir)
     corpus = _build_corpus(workdir, args.n_utts)
     spe = _steps_per_epoch(args.n_utts, args.batch)
-    total_epochs = 2
+    # 4 epochs with the kill mid-epoch-2: the ~(2.5 epochs x step-time)
+    # remaining after the checkpoint lands gives the poll-and-SIGKILL window
+    # room (steps are ~0.3 s at full width)
+    total_epochs = 4
     kill_step = spe + spe // 2  # mid-epoch of epoch 2 -> exercises resume_skip
     base = [sys.executable, __file__, "run", str(workdir), "--batch", str(args.batch),
             "--n-utts", str(args.n_utts), "--epochs", str(total_epochs),
@@ -176,9 +188,9 @@ def cmd_resume_check(args):
     p = child("interrupted", kill_step)
     ckpt_marker = workdir / "interrupted" / "ckpt" / str(kill_step)
     while p.poll() is None and not ckpt_marker.is_dir():
-        time.sleep(2)
+        time.sleep(0.5)
     if p.poll() is None:
-        time.sleep(3)  # let the async checkpoint commit
+        time.sleep(1.5)  # let the checkpoint finish committing
         os.kill(p.pid, signal.SIGKILL)
         p.wait()
         print(f"[resume-check] killed trainer at step {kill_step}", flush=True)
