@@ -129,6 +129,22 @@ class StepTimer:
         self._last = now
         return dt
 
+    def synced_step_time(self, step: int) -> Optional[float]:
+        """Mean seconds/step between consecutive calls, measured at HOST
+        SYNC points — call right after materializing metrics (e.g. at each
+        summary write).  Per-step ``tick()`` measures ENQUEUE rate: on
+        backends with fully asynchronous dispatch (the tunneled axon chip,
+        where even block_until_ready does not synchronize) that can read
+        ~5x faster than the device's true throughput (observed on the GAN
+        loop, round 3); this one is honest everywhere."""
+        now = time.perf_counter()
+        dt = None
+        prev = getattr(self, "_sync_prev", None)
+        if prev is not None and step > prev[0] and now > prev[1]:
+            dt = (now - prev[1]) / (step - prev[0])
+        self._sync_prev = (step, now)
+        return dt
+
     @property
     def mean_step_time(self) -> float:
         return float(np.mean(self._times)) if self._times else 0.0

@@ -198,10 +198,15 @@ def train_flow_matching(config) -> None:
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
+                    # scalars() materializes the metrics => a true device
+                    # sync; rate from sync-to-sync wall time (dispatch-rate
+                    # tick() overreads ~5x on the async tunneled backend)
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
-                    writer.scalar("train/steps_per_sec", 1.0 / max(timer.mean_step_time, 1e-9), step)
-                    if flops_per_step:
-                        writer.scalar("train/MFU", mfu(flops_per_step, timer.mean_step_time), step)
+                    step_time = timer.synced_step_time(step)
+                    if step_time:
+                        writer.scalar("train/steps_per_sec", 1.0 / step_time, step)
+                        if flops_per_step:
+                            writer.scalar("train/MFU", mfu(flops_per_step, step_time), step)
 
             if epoch % trainer_config.save_interval_epoch == 0:
                 # symmetric host-local copy first (collective when params are
@@ -324,10 +329,14 @@ def train_hifigan(config) -> None:
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
+                    # sync-to-sync rate (see CFM loop note): scalars()
+                    # materializes metrics, so this wall clock is honest
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="training/")
-                    writer.scalar("training/steps_per_sec", 1.0 / max(timer.mean_step_time, 1e-9), step)
-                    if flops_per_step:
-                        writer.scalar("training/MFU", mfu(flops_per_step, timer.mean_step_time), step)
+                    step_time = timer.synced_step_time(step)
+                    if step_time:
+                        writer.scalar("training/steps_per_sec", 1.0 / step_time, step)
+                        if flops_per_step:
+                            writer.scalar("training/MFU", mfu(flops_per_step, step_time), step)
                 if step % trainer_config.checkpoint_interval == 0:
                     ckpt.save(step, state)
                     _export_hifigan(config, model_config, host_local_copy(state.gen_params))
@@ -492,15 +501,19 @@ def train_speechlm(config) -> None:
                 step += 1
                 timer.tick()
                 if step % trainer_config.summary_interval == 0:
+                    # sync-to-sync rate (see CFM loop note): scalars()
+                    # materializes metrics, so this wall clock is honest
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="train/")
                     writer.memory(step)  # HBM usage (reference logs CUDA peak, train.py:196-197)
-                    writer.scalar(
-                        "train/tokens_per_sec",
-                        timer.throughput(global_batch * trainer_config.units_per_sample),
-                        step,
-                    )
-                    if flops_per_step:
-                        writer.scalar("train/MFU", mfu(flops_per_step, timer.mean_step_time), step)
+                    step_time = timer.synced_step_time(step)
+                    if step_time:
+                        writer.scalar(
+                            "train/tokens_per_sec",
+                            global_batch * trainer_config.units_per_sample / step_time,
+                            step,
+                        )
+                        if flops_per_step:
+                            writer.scalar("train/MFU", mfu(flops_per_step, step_time), step)
 
             ckpt.save(step, state)
             # symmetric host-local copy (a COLLECTIVE when TP shards params
