@@ -93,13 +93,15 @@ class ConditionalFlowMatchingWithHifiGan:
         """Load a local HF-format composite checkpoint directory.
 
         Mirrors README.md:43's
-        ``ConditionalFlowMatchingWithHifiGan.from_pretrained(...)`` for a
+        ``ConditionalFlowMatchingWithHifiGan.from_pretrained(...)``: accepts a
         directory containing config.json + weights (the composite config holds
-        ``model_config`` and ``vocoder_config`` sub-dicts, configs.py:44-61).
+        ``model_config`` and ``vocoder_config`` sub-dicts, configs.py:44-61)
+        or an ``org/name`` hub id resolved through the HF cache (models/hub.py).
         """
         from .convert import cfm_model_params, hifigan_generator_buffers, hifigan_generator_params
+        from .hub import resolve_pretrained_dir
 
-        model_dir = Path(model_dir)
+        model_dir = resolve_pretrained_dir(model_dir)
         with open(model_dir / "config.json") as f:
             cfg = json.load(f)
 
@@ -128,8 +130,9 @@ class ConditionalFlowMatchingWithHifiGan:
     def load_pretrained(cls, model_path: str, vocoder_path: str, policy: Policy = BF16_INFERENCE):
         """Two-directory variant (models.py:200-209 parity)."""
         from .convert import cfm_model_params, hifigan_generator_buffers, hifigan_generator_params
+        from .hub import resolve_pretrained_dir
 
-        model_dir, voc_dir = Path(model_path), Path(vocoder_path)
+        model_dir, voc_dir = resolve_pretrained_dir(model_path), resolve_pretrained_dir(vocoder_path)
         with open(model_dir / "config.json") as f:
             m = json.load(f)
         model_config = CFMConfig(**{k: m[k] for k in dataclasses.asdict(CFMConfig()).keys() if k in m})

@@ -239,9 +239,10 @@ def load_lm_from_hf(model_dir: str, policy=None, scan_layers: bool = False):
 
     from ..core.precision import BF16_INFERENCE
     from ..models.convert import llama_params, stack_llama_layers
+    from ..models.hub import resolve_pretrained_dir
     from ..models.llama import LlamaConfig
 
-    model_dir = Path(model_dir)
+    model_dir = resolve_pretrained_dir(model_dir)
     with open(model_dir / "config.json") as f:
         hf = json.load(f)
     config = LlamaConfig(
