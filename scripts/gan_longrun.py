@@ -121,23 +121,47 @@ def _scalars(log_dir: Path):
 
     acc = EventAccumulator(str(log_dir), size_guidance={"scalars": 0})
     acc.Reload()
-    return {tag: [(e.step, e.value) for e in acc.Scalars(tag)] for tag in acc.Tags()["scalars"]}
+    return {tag: [(e.step, e.value, e.wall_time) for e in acc.Scalars(tag)] for tag in acc.Tags()["scalars"]}
 
 
 def cmd_report(args):
+    import math
+
     workdir = Path(args.workdir)
     scal = _scalars(workdir / "run" / "logs")
-    keys = [k for k in ("training/loss_gen", "training/loss_disc", "training/mel_error", "training/lr", "training/steps_per_sec", "training/MFU", "validation/mel_spec_error") if k in scal]
-    # downsample each curve to ~20 evenly spaced rows keyed by step
-    steps = sorted({s for k in keys for s, _ in scal[k]})
-    picks = steps[:: max(1, len(steps) // 20)]
-    by_step = {k: dict(scal[k]) for k in keys}
+    keys = [k for k in ("training/loss_gen", "training/loss_disc", "training/mel_error", "training/lr", "validation/mel_spec_error") if k in scal]
+    # Honest steps/s: wall-clock time between summary events (each summary
+    # materializes metrics = a true device sync; the LOGGED steps_per_sec /
+    # MFU of runs started before the synced_step_time fix measure dispatch
+    # rate, ~5x the device's real throughput on the tunneled backend).
+    anchor = scal.get("training/loss_gen", [])
+    rate_at = {}
+    for (s0, _, t0), (s1, _, t1) in zip(anchor, anchor[1:]):
+        if t1 > t0 and s1 > s0:
+            rate_at[s1] = (s1 - s0) / (t1 - t0)
 
-    lines = ["| step | " + " | ".join(k.split("/")[-1] for k in keys) + " |",
-             "|---" * (len(keys) + 1) + "|"]
+    # downsample each curve to ~20 evenly spaced rows keyed by step
+    steps = sorted({s for k in keys for s, _, _ in scal[k]})
+    picks = steps[:: max(1, len(steps) // 20)]
+    by_step = {k: {s: v for s, v, _ in scal[k]} for k in keys}
+
+    lines = ["| step | " + " | ".join(k.split("/")[-1] for k in keys) + " | wall steps/s |",
+             "|---" * (len(keys) + 2) + "|"]
     for s in picks:
         row = [f"{by_step[k].get(s, float('nan')):.4g}" if isinstance(by_step[k].get(s), float) else "" for k in keys]
-        lines.append(f"| {s} | " + " | ".join(row) + " |")
+        rate = rate_at.get(s)
+        lines.append(f"| {s} | " + " | ".join(row) + f" | {rate:.2f} |" if rate else f"| {s} | " + " | ".join(row) + " |  |")
+
+    # drift / stability summary
+    bad = {k: sum(1 for _, v, _ in scal[k] if not math.isfinite(v)) for k in scal}
+    nonfinite = {k: n for k, n in bad.items() if n}
+    if anchor:
+        total_steps = anchor[-1][0] - anchor[0][0]
+        total_wall = anchor[-1][2] - anchor[0][2]
+        lines.append("")
+        lines.append(f"- steps {anchor[0][0]}..{anchor[-1][0]}; mean wall rate "
+                     f"{total_steps / total_wall:.2f} steps/s ({total_wall / 3600:.2f} h)")
+    lines.append(f"- non-finite scalar events: {nonfinite if nonfinite else 'none (no bf16/spectral-norm divergence)'}")
     print("\n".join(lines))
     out = workdir / "report.md"
     out.write_text("\n".join(lines) + "\n")

@@ -332,6 +332,16 @@ def train_hifigan(config) -> None:
                     # sync-to-sync rate (see CFM loop note): scalars()
                     # materializes metrics, so this wall clock is honest
                     writer.scalars({k: v for k, v in metrics.items()}, step, prefix="training/")
+                    # per-epoch exponential decay (train/hifigan.py schedule) —
+                    # logged host-side so long-run reports get the LR curve.
+                    # The update that produced this summary is optax count
+                    # step-1 (first update sees schedule(0)).
+                    writer.scalar(
+                        "training/lr",
+                        trainer_config.learning_rate
+                        * trainer_config.lr_decay ** ((step - 1) // steps_per_epoch),
+                        step,
+                    )
                     step_time = timer.synced_step_time(step)
                     if step_time:
                         writer.scalar("training/steps_per_sec", 1.0 / step_time, step)
