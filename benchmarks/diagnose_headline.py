@@ -18,6 +18,7 @@ contention swings readings +-15%).
 """
 
 import argparse
+import functools
 import json
 import statistics
 import sys
@@ -118,12 +119,15 @@ def main():
     r = timed(lambda: d2h(bumpf, wavf), args.trials)
     emit("d2h_f32", {**r, "mb_per_s": round(2 * wav_bytes * iters / 1e6 / max(r["median_s"], 1e-9), 1)})
 
-    # 5. stage split, compute-only: ODE alone vs full (vocoder = difference)
+    # 5. stage split, compute-only: ODE alone vs full (vocoder = difference).
+    # Params ride as an argument, not a closure (CLAUDE.md: closed-over trees
+    # inline as HLO constants and 413 the remote-compile request at scale).
     sample = jax.jit(
-        lambda ids, rng: decoder.model.apply(
-            decoder.model_variables, ids, dt=0.0625, truncation_value=1.0, rng=rng, max_frames=None, method="sample"
+        lambda variables, ids, rng: decoder.model.apply(
+            variables, ids, dt=0.0625, truncation_value=1.0, rng=rng, max_frames=None, method="sample"
         )
     )
+    sample = functools.partial(sample, decoder.model_variables)
     mel, fmask = sample(ids, jax.random.key(0))
     np.asarray(mel[0, :1, :1])
 

@@ -128,7 +128,10 @@ def cmd_report(args):
     import math
 
     workdir = Path(args.workdir)
-    scal = _scalars(workdir / "run" / "logs")
+    log_dir = workdir / args.run_name / "logs"
+    if not log_dir.is_dir():
+        raise SystemExit(f"no event logs at {log_dir} (wrong --run-name?)")
+    scal = _scalars(log_dir)
     keys = [k for k in ("training/loss_gen", "training/loss_disc", "training/mel_error", "training/lr", "validation/mel_spec_error") if k in scal]
     # Honest steps/s: wall-clock time between summary events (each summary
     # materializes metrics = a true device sync; the LOGGED steps_per_sec /

@@ -20,6 +20,7 @@ No network access ever happens when the cache already holds the snapshot.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from pathlib import Path
@@ -88,6 +89,14 @@ def resolve_pretrained_dir(name_or_path, cache_dir: Optional[str] = None) -> Pat
     try:
         from huggingface_hub import snapshot_download
 
+        # Loud on purpose: a mistyped relative local path ('checkpoints/x')
+        # is indistinguishable from a hub id — make the network fallback
+        # visible so third-party weights are never fetched silently.
+        logging.getLogger(__name__).warning(
+            "%r is not a local directory and is not in any HF cache; "
+            "treating it as a HuggingFace hub id and attempting download",
+            name,
+        )
         return Path(snapshot_download(name, cache_dir=cache_dir))
     except Exception as exc:  # offline host, missing dependency, bad id, ...
         raise FileNotFoundError(

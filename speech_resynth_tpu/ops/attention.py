@@ -249,6 +249,32 @@ def attention_implementation(impl: Optional[str]):
         _IMPL_OVERRIDE = prev
 
 
+def auto_dispatch(d: int, q_len: int, k_len: int, causal: bool, on_tpu: bool) -> str:
+    """The ``implementation="auto"`` decision, factored out so the gate is
+    directly testable on the CPU suite (where on_tpu is always False at the
+    call site).
+
+    Driven by IN-CONTEXT measurements on v5e (PARITY.md): standalone, the
+    kernel beats XLA 1.6-4x on every production shape (bench_attention.py) —
+    but inside a full jitted model XLA's fusion changes the verdict per
+    family:
+      * CFM-style d%128==0 bidir: pallas (headline bench holds ~990x)
+      * Llama-style d=64 short causal: pallas (+7% LM scoring,
+        bench_lm.py 186k -> 199k tok/s)
+      * HuBERT/Whisper-style d=64 bidir: XLA (full-encoder A/B: XLA
+        1906x vs pallas 1411x realtime) — fusion with QKV/residual wins
+    """
+    if not on_tpu:
+        return "xla"
+    if d == 64:
+        shape_profits = causal and 128 <= q_len <= 512
+    else:
+        shape_profits = d % 128 == 0 and q_len >= 256
+    if causal and q_len > k_len:
+        shape_profits = False  # kernel rejects q_len > k_len causal
+    return "pallas" if shape_profits else "xla"
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -267,23 +293,7 @@ def dot_product_attention(
         implementation = _IMPL_OVERRIDE
     if implementation == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # Dispatch driven by IN-CONTEXT measurements on v5e (PARITY.md):
-        # standalone, the kernel beats XLA 1.6-4x on every production shape
-        # (bench_attention.py) — but inside a full jitted model XLA's fusion
-        # changes the verdict per family:
-        #   * CFM-style d%128==0 bidir: pallas (headline bench holds ~990x)
-        #   * Llama-style d=64 short causal: pallas (+7% LM scoring,
-        #     bench_lm.py 186k -> 199k tok/s)
-        #   * HuBERT/Whisper-style d=64 bidir: XLA (full-encoder A/B: XLA
-        #     1906x vs pallas 1411x realtime) — fusion with QKV/residual wins
-        d, n = q.shape[-1], q.shape[-2]
-        if d == 64:
-            shape_profits = causal and 128 <= n <= 512
-        else:
-            shape_profits = d % 128 == 0 and n >= 256
-        if causal and n > k.shape[-2]:
-            shape_profits = False  # kernel rejects q_len > k_len causal
-        implementation = "pallas" if (on_tpu and shape_profits) else "xla"
+        implementation = auto_dispatch(q.shape[-1], q.shape[-2], k.shape[-2], causal, on_tpu)
     if implementation == "pallas":
         return _flash_attention(q, k, v, mask, causal)
     return attention_reference(q, k, v, mask, causal)

@@ -302,6 +302,7 @@ class MelDataset:
         self.wav_dir = Path(input_wavs_dir)
         self.mel_dir = Path(input_mels_dir)
         self.segment_size = segment_size
+        self.n_fft = n_fft
         self.hop_size = hop_size
         self.split = split
         self.frames_per_seg = (segment_size - n_fft) // hop_size + 1
@@ -370,7 +371,7 @@ class MelDataset:
             }
 
     def padded_batches(
-        self, batch_size: int, multiple: int = 128, max_utts: Optional[int] = None
+        self, batch_size: int, multiple: int = 128, max_utts: Optional[int] = None, with_wav: bool = True
     ) -> Iterator[Dict]:
         """Full-length validation batches (requires ``split=False``).
 
@@ -381,40 +382,50 @@ class MelDataset:
         each (batch, length) shape compiles once; mel pads with
         MEL_PAD_VALUE, wav with zeros, ``mel_mask`` marks real frames.  Wav
         is trimmed/padded to (L_pad-1)*hop + n_fft so the generator-output
-        invariant (its mel has exactly L_pad frames) holds."""
+        invariant (its mel has exactly L_pad frames) holds; callers that only
+        need the mels (mel-L1 validation) pass ``with_wav=False`` to skip
+        audio decoding entirely.
+
+        Bucketing reads only the mel-file headers (mmap) up front; each
+        bucket group is loaded lazily as it is yielded, so a large dev set is
+        never resident in memory at once."""
         assert not self.split, "padded_batches needs a split=False (full-length) dataset"
         rng = np.random.default_rng(0)
         names = self.names if max_utts is None else self.names[: int(max_utts)]
-        loaded = [self._example(name, rng) for name in names]
-        n_fft = (self.segment_size - (self.frames_per_seg - 1) * self.hop_size)
+        frames = [np.load(self.mel_dir / (n + ".npy"), mmap_mode="r").size // 80 for n in names]
 
-        def bucket(frames: int) -> int:
-            return max(multiple, -(-frames // multiple) * multiple)
+        def bucket(n: int) -> int:
+            return max(multiple, -(-n // multiple) * multiple)
 
-        order = sorted(range(len(loaded)), key=lambda i: loaded[i][0].shape[0])
+        order = sorted(range(len(names)), key=lambda i: frames[i])
         i = 0
         while i < len(order):
-            L_pad = bucket(loaded[order[i]][0].shape[0])
+            L_pad = bucket(frames[order[i]])
             group = []
-            while i < len(order) and len(group) < batch_size and bucket(loaded[order[i]][0].shape[0]) == L_pad:
+            while i < len(order) and len(group) < batch_size and bucket(frames[order[i]]) == L_pad:
                 group.append(order[i])
                 i += 1
-            wav_len = (L_pad - 1) * self.hop_size + n_fft
+            wav_len = (L_pad - 1) * self.hop_size + self.n_fft
             mel = np.full((len(group), L_pad, 80), MEL_PAD_VALUE, np.float32)
-            wav = np.zeros((len(group), wav_len), np.float32)
+            wav = np.zeros((len(group), wav_len), np.float32) if with_wav else None
             mask = np.zeros((len(group), L_pad), bool)
             for j, idx in enumerate(group):
-                m, w, _ = loaded[idx]
+                if with_wav:
+                    m, w, _ = self._example(names[idx], rng)
+                    w = w[:wav_len]
+                    wav[j, : len(w)] = w
+                else:
+                    m = np.load(self.mel_dir / (names[idx] + ".npy")).astype(np.float32).reshape(-1, 80)
                 mel[j, : m.shape[0]] = m
-                w = w[:wav_len]
-                wav[j, : len(w)] = w
                 mask[j, : m.shape[0]] = True
-            yield {
+            batch = {
                 "mel": mel,
-                "wav": wav,
                 "mel_mask": mask,
                 "names": [names[idx] for idx in group],
             }
+            if with_wav:
+                batch["wav"] = wav
+            yield batch
 
 
 # ---------------------------------------------------------------------------

@@ -24,25 +24,33 @@ from .scorers import ASRScorer, MOSScorer, default_asr, default_mos
 
 
 def _load_decoder(config) -> ConditionalFlowMatchingWithHifiGan:
-    """Composite checkpoint dir when present (eval.py:32 semantics), else
-    the two training-export dirs (load_pretrained, models.py:200-209)."""
+    """Composite checkpoint when present (eval.py:32 semantics) — a local
+    directory or an org/name hub id, both resolved by ``from_pretrained``
+    (models/hub.py) — else the two training-export dirs (load_pretrained,
+    models.py:200-209)."""
     name = None
     try:
         name = config.flow_matching_with_hifigan.get("name")
     except Exception:
         pass
-    if name and Path(str(name)).is_dir():
-        return ConditionalFlowMatchingWithHifiGan.from_pretrained(str(name))
+    name_error = None
+    if name:
+        try:
+            return ConditionalFlowMatchingWithHifiGan.from_pretrained(str(name))
+        except FileNotFoundError as exc:  # fall back to the training exports
+            name_error = str(exc)
     fm_dir = Path(str(config.flow_matching.path)) / "hf"
     voc_dir = Path(str(config.hifigan.path))
     if (fm_dir / "config.json").is_file() and (voc_dir / "config.json").is_file():
         return ConditionalFlowMatchingWithHifiGan.load_pretrained(str(fm_dir), str(voc_dir))
     raise FileNotFoundError(
         "no decoder checkpoint found: flow_matching_with_hifigan.name "
-        f"({name!r}) is not a checkpoint directory and the training-export "
-        f"dirs are incomplete ({fm_dir}/config.json and {voc_dir}/config.json "
-        "must both exist — run train_flow_matching and train_hifigan first, "
-        "or point flow_matching_with_hifigan.name at a composite export)"
+        f"({name!r}) did not resolve"
+        + (f" ({name_error})" if name_error else "")
+        + f" and the training-export dirs are incomplete ({fm_dir}/config.json "
+        f"and {voc_dir}/config.json must both exist — run train_flow_matching "
+        "and train_hifigan first, or point flow_matching_with_hifigan.name at "
+        "a composite export dir or hub id)"
     )
 
 

@@ -154,6 +154,12 @@ class NativeWhisperASR:
         self.chunk_length_s = chunk_length_s
         # HF pipeline default: stride = chunk/6 on each side -> step = 2/3 chunk
         self.stride_length_s = chunk_length_s / 6.0 if stride_length_s is None else stride_length_s
+        if not 0 <= self.stride_length_s < chunk_length_s / 2:
+            raise ValueError(
+                f"stride_length_s ({self.stride_length_s}) must be in "
+                f"[0, chunk_length_s/2) = [0, {chunk_length_s / 2}): the window "
+                "step is chunk - 2*stride, which must stay positive"
+            )
 
     def _window_starts(self, n_samples: int, sample_rate: int) -> List[int]:
         """Strided window start offsets — same windows as the HF pipeline's

@@ -118,7 +118,9 @@ class SynthesisServer:
             while not inflight.empty():
                 yield from drain_one()
         finally:
-            pool.shutdown(wait=False)
+            # cancel_futures: an abandoned generator must not leave queued
+            # materialize jobs pulling full PCM batches over the tunnel
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def synthesize_many(self, unit_seqs: Sequence[np.ndarray]) -> List[np.ndarray]:
         """Convenience: list of unit sequences -> list of waveforms (ordered)."""

@@ -410,7 +410,7 @@ def _validate_hifigan(config, gen, gen_params, trainer_config, step: int, writer
     if len(dev_set) == 0:
         return
     abs_tot, frame_tot, logged = 0.0, 0, 0
-    for batch in dev_set.padded_batches(8, max_utts=max_utts):
+    for batch in dev_set.padded_batches(8, max_utts=max_utts, with_wav=False):
         y_hat = gen.apply({"params": gen_params}, batch["mel"])
         y_hat_mel = log_mel_spectrogram(
             y_hat, n_fft=trainer_config.n_fft, num_mels=trainer_config.num_mels, hop_size=trainer_config.hop_size
@@ -420,10 +420,9 @@ def _validate_hifigan(config, gen, gen_params, trainer_config, step: int, writer
         abs_tot += float((diff * mask).sum())
         frame_tot += int(mask.sum()) * diff.shape[-1]
         if logged == 0:
-            n_fft = trainer_config.segment_size - (dev_set.frames_per_seg - 1) * trainer_config.hop_size
             for j in range(min(3, y_hat.shape[0])):
                 true_frames = int(batch["mel_mask"][j].sum())
-                true_len = (true_frames - 1) * trainer_config.hop_size + n_fft
+                true_len = (true_frames - 1) * trainer_config.hop_size + trainer_config.n_fft
                 writer.audio(f"generated/y_hat_{j}", np.asarray(y_hat[j][:true_len]), step)
                 writer.spectrogram_figure(
                     f"generated/y_hat_spec_{j}", np.asarray(y_hat_mel[j][:true_frames]).T, step
@@ -613,7 +612,12 @@ def eval_speechlm(config) -> None:
         bos_token_id=config.model.get("bos_token_id"),
         eos_token_id=config.model.get("eos_token_id"),
     )
-    model, state, _, _ = make_speechlm_trainer(model_config, SpeechLMTrainerConfig(), mesh, total_steps=1)
+    # "auto" (not the trainer's "xla" pin): this path only runs inference
+    # scoring, where the flash forward keeps its measured win at 96x128
+    # (+7%, bench_lm.py) — the XLA pin is a fused-fwd+bwd training verdict
+    model, state, _, _ = make_speechlm_trainer(
+        model_config, SpeechLMTrainerConfig(attn_implementation="auto"), mesh, total_steps=1
+    )
     with CheckpointManager(Path(config.model.path) / "ckpt") as ckpt:
         state = ckpt.restore(state)
     return evaluate(config, model, {"params": state.params})

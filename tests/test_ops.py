@@ -204,3 +204,24 @@ def test_flash_causal_rejects_q_longer_than_k():
     got = A.dot_product_attention(q, k, v, None, causal=True, implementation="auto")
     ref = A.attention_reference(q, k, v, None, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_auto_dispatch_gate():
+    """The auto gate itself, exercised with on_tpu=True on the CPU suite
+    (the dot_product_attention call site always sees on_tpu=False here, so
+    the shape logic would otherwise be vacuously untested)."""
+    # CFM family: d%128==0 bidir, long enough -> pallas
+    assert A.auto_dispatch(128, 256, 256, causal=False, on_tpu=True) == "pallas"
+    assert A.auto_dispatch(128, 255, 255, causal=False, on_tpu=True) == "xla"
+    # Llama family: d=64 short causal -> pallas
+    assert A.auto_dispatch(64, 128, 128, causal=True, on_tpu=True) == "pallas"
+    assert A.auto_dispatch(64, 513, 513, causal=True, on_tpu=True) == "xla"
+    # HuBERT/Whisper family: d=64 bidir -> xla (in-context fusion verdict)
+    assert A.auto_dispatch(64, 256, 256, causal=False, on_tpu=True) == "xla"
+    # kernel rejects q_len > k_len causal -> must route to xla even on TPU
+    assert A.auto_dispatch(64, 256, 128, causal=True, on_tpu=True) == "xla"
+    assert A.auto_dispatch(128, 512, 256, causal=True, on_tpu=True) == "xla"
+    # q_len < k_len causal (KV-cache decode tail) keeps the d=64 pallas win
+    assert A.auto_dispatch(64, 256, 512, causal=True, on_tpu=True) == "pallas"
+    # never pallas off-TPU
+    assert A.auto_dispatch(128, 512, 512, causal=False, on_tpu=False) == "xla"
