@@ -20,8 +20,9 @@ reparameterizations computed inside the jitted step (no torch-style hooks).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,65 @@ def conv_transpose1d(x, kernel, bias, stride: int, padding: int):
     return out if bias is None else out + bias
 
 
+def conv_transpose1d_subpixel(x, kernel, bias, stride: int, padding: int):
+    """Same function as ``conv_transpose1d`` via phase decomposition.
+
+    out[t] = sum_j W[p + j*S] x[q - j] with t + P = q*S + p — so the
+    transposed conv is one DENSE kernel-ceil(K/S) conv emitting S*O features
+    per input frame, interleaved (sub-pixel / depth-to-time) onto the
+    upsampled timeline.  The zero-stuffed ``lhs_dilation`` formulation
+    multiplies against (S-1)/S zeros unless the compiler strips them; this
+    one feeds the MXU a dense (J*I, S*O) contraction.  Numerically equal to
+    conv_transpose1d up to float reassociation (parity test in
+    tests/test_hifigan.py)."""
+    K, I, O = kernel.shape
+    S = stride
+    if S == 1:
+        return conv_transpose1d(x, kernel, bias, stride, padding)
+    J = -(-K // S)
+    w = jnp.pad(kernel, ((0, J * S - K), (0, 0), (0, 0))).reshape(J, S, I, O)
+    w = jnp.flip(w, axis=0)  # conv correlates; taps need j reversed
+    w = jnp.transpose(w, (0, 2, 1, 3)).reshape(J, I, S * O)
+    y = jax.lax.conv_general_dilated(
+        x, w, (1,), [(J - 1, J - 1)], dimension_numbers=("NWC", "WIO", "NWC")
+    )  # (B, L+J-1, S*O)
+    z = y.reshape(y.shape[0], y.shape[1] * S, O)  # z[:, q*S + p] = phase p of q
+    length_out = (x.shape[1] - 1) * S + K - 2 * padding
+    out = jax.lax.slice_in_dim(z, padding, padding + length_out, axis=1)
+    return out if bias is None else out + bias
+
+
+_UPSAMPLE_IMPL: Optional[str] = None
+
+
+@contextlib.contextmanager
+def upsample_implementation(impl: Optional[str]):
+    """Force the transposed-conv formulation ("dilated" | "subpixel") for
+    every upsampler while active — trace-time decision, same discipline as
+    ops.attention.attention_implementation: enter BEFORE jitting, use fresh
+    jitted fns per variant.  A/B harness: benchmarks/bench_upsample.py."""
+    global _UPSAMPLE_IMPL
+    prev, _UPSAMPLE_IMPL = _UPSAMPLE_IMPL, impl
+    try:
+        yield
+    finally:
+        _UPSAMPLE_IMPL = prev
+
+
+def upsample_conv_transpose(x, kernel, bias, stride: int, padding: int):
+    """Formulation dispatch for the generator upsamplers.  Default is the
+    zero-stuffed lhs_dilation form: the whole-vocoder in-context A/B on the
+    v5e chip (benchmarks/bench_upsample.py, 2026-08-17) measured dilated
+    91.6 ms vs subpixel 103.2 ms per generator_apply_fused call at the
+    headline shape (16x500 mel frames) — XLA's own lowering of lhs_dilation
+    beats the hand-decomposed dense contraction here, both standalone and
+    fused (table in PARITY.md).  The sub-pixel form stays behind this
+    override for re-measurement on future hardware/compiler versions."""
+    impl = _UPSAMPLE_IMPL or "dilated"
+    fn = conv_transpose1d_subpixel if impl == "subpixel" else conv_transpose1d
+    return fn(x, kernel, bias, stride, padding)
+
+
 class PlainConv(nn.Module):
     """Conv1d with explicit torch-style symmetric padding."""
 
@@ -155,7 +215,7 @@ class PlainConvTranspose(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.policy.param_dtype)
         cd = self.policy.compute_dtype
-        return conv_transpose1d(x.astype(cd), kernel.astype(cd), bias.astype(cd), self.stride, self.padding)
+        return upsample_conv_transpose(x.astype(cd), kernel.astype(cd), bias.astype(cd), self.stride, self.padding)
 
 
 class ResidualBlock(nn.Module):
@@ -273,7 +333,7 @@ def generator_apply_fused(
         channels = cfg.upsample_initial_channel // (2 ** (i + 1))
         x = nn.leaky_relu(x, cfg.leaky_relu_slope)
         up = params[f"upsampler_{i}"]
-        x = conv_transpose1d(x, up["kernel"].astype(cd), up["bias"].astype(cd), rate, (kernel - rate) // 2)
+        x = upsample_conv_transpose(x, up["kernel"].astype(cd), up["bias"].astype(cd), rate, (kernel - rate) // 2)
 
         res = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):

@@ -82,6 +82,24 @@ def test_conv_transpose_matches_torch():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "K,S,P,I,O,L",
+    [(10, 5, 2, 32, 16, 37), (9, 4, 2, 24, 12, 23), (8, 4, 2, 32, 16, 50), (4, 2, 1, 16, 8, 11), (5, 1, 2, 8, 8, 13)],
+)
+def test_conv_transpose_subpixel_matches_dilated(K, S, P, I, O, L):
+    """Phase-decomposed (sub-pixel) transposed conv == the zero-stuffed
+    lhs_dilation formulation, across the production (K, S) shapes incl. the
+    K % S != 0 stage (9, 4) and the stride-1 passthrough."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, L, I)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((K, I, O)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((O,)), jnp.float32)
+    ref = np.asarray(H.conv_transpose1d(x, k, b, S, P))
+    got = np.asarray(H.conv_transpose1d_subpixel(x, k, b, S, P))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5 * np.abs(ref).max())
+
+
 def test_discriminators_shapes_and_losses():
     rng = np.random.default_rng(2)
     y = jnp.asarray(rng.standard_normal((2, 800)), jnp.float32)
