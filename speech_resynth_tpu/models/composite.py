@@ -53,7 +53,9 @@ class ConditionalFlowMatchingWithHifiGan:
     fused_vocoder: bool = True  # Pallas MRF kernels on narrow stages (TPU)
 
     def __post_init__(self):
-        self._synth = jax.jit(self._synthesize, static_argnames=("dt", "truncation_value", "max_frames", "pcm16"))
+        self._synth = jax.jit(
+            self._synthesize, static_argnames=("dt", "truncation_value", "max_frames", "pcm16", "mulaw")
+        )
         self._predict_durations = jax.jit(
             lambda ids: self.model.apply(self.model_variables, ids, method="predict_durations")
         )
@@ -158,6 +160,7 @@ class ConditionalFlowMatchingWithHifiGan:
         truncation_value: Optional[float],
         max_frames: Optional[int],
         pcm16: bool = False,
+        mulaw: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         spectrogram, frame_mask = self.model.apply(
             self.model_variables,
@@ -187,7 +190,13 @@ class ConditionalFlowMatchingWithHifiGan:
             )
         else:
             waveform = self.vocoder.apply(self.vocoder_variables, spectrogram)
-        if pcm16:
+        if mulaw:
+            # device-side 8-bit mu-law companding: quarter of the f32 host
+            # transfer (wire-bound serving option; dsp/mulaw.py decodes)
+            from ..dsp.mulaw import mulaw_encode
+
+            waveform = mulaw_encode(waveform)
+        elif pcm16:
             # device-side PCM16 conversion: half the host transfer, and it is
             # the wire/file format anyway (dsp/audio_io.py writes PCM16)
             waveform = jnp.round(jnp.clip(waveform, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -201,16 +210,24 @@ class ConditionalFlowMatchingWithHifiGan:
         rng: Optional[jax.Array] = None,
         max_frames: Optional[int] = None,
         pcm16: bool = False,
+        mulaw: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """Batched jitted path: (padded waveforms (B, Tmax), lengths (B,)).
 
-        ``pcm16=True`` returns int16 samples (device-side conversion)."""
+        ``pcm16=True`` returns int16 samples; ``mulaw=True`` returns uint8
+        mu-law codes (both device-side conversions — see dsp/mulaw.py)."""
         if rng is None:
             rng = jax.random.key(0)
         if max_frames is None and self.model.config.predict_duration:
             max_frames = self._duration_bound(input_ids)
         return self._synth(
-            jnp.asarray(input_ids), rng, dt=dt, truncation_value=truncation_value, max_frames=max_frames, pcm16=pcm16
+            jnp.asarray(input_ids),
+            rng,
+            dt=dt,
+            truncation_value=truncation_value,
+            max_frames=max_frames,
+            pcm16=pcm16,
+            mulaw=mulaw,
         )
 
     def __call__(

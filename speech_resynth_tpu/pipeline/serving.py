@@ -47,6 +47,7 @@ class SynthesisServer:
         truncation_value: Optional[float] = 1.0,
         length_multiple: int = 128,
         pcm16: bool = True,
+        mulaw: bool = False,
         seed: int = 0,
         max_inflight: int = 4,
         drain_threads: int = 4,
@@ -57,6 +58,9 @@ class SynthesisServer:
         self.truncation_value = truncation_value
         self.length_multiple = length_multiple
         self.pcm16 = pcm16
+        # mulaw=True returns uint8 G.711-style codes (dsp/mulaw.py decodes):
+        # half the PCM16 wire bytes for wire-bound deployments
+        self.mulaw = mulaw
         self._rng = jax.random.key(seed)
         self.max_inflight = max_inflight
         self.drain_threads = drain_threads
@@ -93,7 +97,7 @@ class SynthesisServer:
             self._rng, sub = jax.random.split(self._rng)
             ids, _ = self._collate(reqs if len(reqs) == self.batch_size else reqs + pad_tail(reqs))
             out = self.decoder.synthesize(
-                ids, dt=self.dt, truncation_value=self.truncation_value, rng=sub, pcm16=self.pcm16
+                ids, dt=self.dt, truncation_value=self.truncation_value, rng=sub, pcm16=self.pcm16, mulaw=self.mulaw
             )
             # materialization starts immediately on the pool; concurrent
             # fetches overlap each other and the next batches' compute
