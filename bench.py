@@ -47,6 +47,13 @@ def main():
     parser.add_argument("--iters", type=int, default=20, help="batches per trial")
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--units", type=int, default=500, help="units per sequence (500 = 10 s of audio at 50 Hz)")
+    parser.add_argument(
+        "--wire",
+        choices=("pcm16", "mulaw"),
+        default="pcm16",
+        help="serving wire format: pcm16 (default, the cross-round headline protocol) or "
+        "mulaw (8-bit G.711-style companding, half the drain bytes — dsp/mulaw.py)",
+    )
     args = parser.parse_args()
 
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
@@ -63,9 +70,11 @@ def main():
     batch, units_per_seq = args.batch, args.units
     ids = jnp.asarray(np.random.default_rng(0).integers(1, vocab + 1, (batch, units_per_seq)), jnp.int32)
 
+    pcm16, mulaw = args.wire == "pcm16", args.wire == "mulaw"
+
     def run(rng):
-        # pcm16: device-side int16 conversion (the serving wire format)
-        return decoder.synthesize(ids, dt=0.0625, truncation_value=1.0, rng=rng, pcm16=True)
+        # device-side wire-format conversion (int16 PCM or uint8 mu-law)
+        return decoder.synthesize(ids, dt=0.0625, truncation_value=1.0, rng=rng, pcm16=pcm16, mulaw=mulaw)
 
     # warmup/compile; NOTE: on the tunneled 'axon' platform
     # block_until_ready does not actually synchronize — timing is based on
@@ -78,7 +87,7 @@ def main():
     try:
         flops = compiled_flops(
             decoder._synth.lower(
-                ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=True
+                ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=pcm16, mulaw=mulaw
             ).compile()
         )
     except Exception:
@@ -158,6 +167,7 @@ def main():
         "compute_rtf": round(compute_rtf, 2),
         "d2h_mbps": round(d2h_mbps, 1),
         "weights": "pretrained" if args.pretrained else "random",
+        "wire": args.wire,
     }
     if flops > 0 and peak > 0:
         result["mfu"] = round(flops * iters / (elapsed * peak), 4)

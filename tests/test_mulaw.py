@@ -35,6 +35,24 @@ def test_mulaw_roundtrip_error_bound():
     assert np.max(np.abs(small - ys)) < 1e-3
 
 
+def test_mulaw_snr_scale_invariant():
+    # mu-law's point vs linear 8-bit: SNR is ~constant across signal level
+    # (measured ~38 dB on speech-like harmonics; PARITY.md wire-format note)
+    rng = np.random.default_rng(0)
+    t = np.arange(32000) / 16000.0
+    x = (
+        np.sin(2 * np.pi * 120 * t)
+        + 0.5 * np.sin(2 * np.pi * 240 * t)
+        + 0.25 * np.sin(2 * np.pi * 480 * t)
+    ) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)) + 0.01 * rng.standard_normal(t.size)
+    x = (x / np.abs(x).max()).astype(np.float32)
+    for scale in (1.0, 0.3, 0.1):
+        s = x * scale
+        y = mulaw_decode(np.asarray(mulaw_encode(jnp.asarray(s))))
+        snr = 10 * np.log10(np.sum(s**2) / np.sum((s - y) ** 2))
+        assert snr > 36.0, f"scale {scale}: SNR {snr:.1f} dB"
+
+
 def test_mulaw_monotone():
     x = jnp.linspace(-1, 1, 1001)
     codes = np.asarray(mulaw_encode(x)).astype(np.int32)
