@@ -187,12 +187,37 @@ def device_peak_flops(device=None) -> float:
     return 0.0
 
 
-def compiled_flops(compiled) -> float:
-    """FLOPs of one execution from XLA cost analysis (0.0 if unavailable).
+# HBM peak bandwidth (bytes/s) per chip by device kind; roofline reporting.
+# Sources: public TPU spec sheets (v4 1228 GB/s, v5e 819, v5p 2765, v6e 1640).
+_PEAK_HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
 
-    ``compiled`` is the object returned by ``jit(f).lower(*args).compile()``.
-    (``Lowered.cost_analysis()`` without the compile returns None on this
-    JAX; compiling is a cache hit when the jitted fn has already run once.)
+
+def device_peak_hbm_bw(device=None) -> float:
+    """Best-effort HBM peak bandwidth (bytes/s) for a device (0.0 if unknown)."""
+    device = device or jax.local_devices()[0]
+    kind = getattr(device, "device_kind", "") or ""
+    for name, peak in _PEAK_HBM_BW.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return 0.0
+
+
+def compiled_cost(compiled, key: str) -> float:
+    """One cost-analysis property of a compiled executable (0.0 if unavailable).
+
+    ``key`` is an XLA cost-analysis property name, e.g. ``"flops"`` or
+    ``"bytes accessed"``.  "bytes accessed" sums each post-fusion HLO op's
+    operand+output buffer traffic — an upper-bound estimate of HBM bytes
+    (producer/consumer pairs inside one fusion don't round-trip HBM, but
+    between-fusion buffers do, and those dominate at our sizes).
     """
     try:
         cost = compiled.cost_analysis()
@@ -200,9 +225,19 @@ def compiled_flops(compiled) -> float:
             cost = cost[0]
         if cost is None:
             return 0.0
-        return float(cost.get("flops", 0.0))
+        return float(cost.get(key, 0.0))
     except Exception:
         return 0.0
+
+
+def compiled_flops(compiled) -> float:
+    """FLOPs of one execution from XLA cost analysis (0.0 if unavailable).
+
+    ``compiled`` is the object returned by ``jit(f).lower(*args).compile()``.
+    (``Lowered.cost_analysis()`` without the compile returns None on this
+    JAX; compiling is a cache hit when the jitted fn has already run once.)
+    """
+    return compiled_cost(compiled, "flops")
 
 
 def step_flops(jitted_fn, *args, **kwargs) -> float:

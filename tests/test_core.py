@@ -57,6 +57,36 @@ def test_metrics_writer_noop_and_real(tmp_path):
     assert any((tmp_path / "logs2").iterdir())
 
 
+def test_compiled_cost_and_peaks():
+    from speech_resynth_tpu.core.metrics import (
+        compiled_cost,
+        compiled_flops,
+        device_peak_flops,
+        device_peak_hbm_bw,
+    )
+
+    f = jax.jit(lambda a, b: jax.numpy.tanh(a @ b))
+    a = jax.numpy.ones((32, 32))
+    f(a, a)
+    compiled = f.lower(a, a).compile()
+    # flops path is the same lookup; both are >=0 and never raise
+    assert compiled_cost(compiled, "flops") == compiled_flops(compiled)
+    assert compiled_cost(compiled, "bytes accessed") >= 0.0
+    assert compiled_cost(compiled, "no such key") == 0.0
+    assert compiled_cost(object(), "flops") == 0.0  # no cost_analysis attr
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+    # "TPU v5 lite" must match the lite row, not the "TPU v5" prefix row
+    assert device_peak_hbm_bw(FakeDev()) == 819e9
+    assert device_peak_flops(FakeDev()) == 197e12
+    FakeDev.device_kind = "TPU v5p"
+    assert device_peak_hbm_bw(FakeDev()) == 2765e9
+    FakeDev.device_kind = "weird accelerator"
+    assert device_peak_hbm_bw(FakeDev()) == 0.0
+
+
 def test_trace_span_runs():
     with trace_span("test-span"):
         pass
