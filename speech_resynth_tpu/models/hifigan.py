@@ -304,6 +304,7 @@ def generator_apply_fused(
     compute_dtype=jnp.bfloat16,
     force_fused: bool = False,
     interpret: bool = False,
+    truncate: Optional[Tuple[str, int]] = None,
 ) -> jax.Array:
     """Inference-path generator forward with Pallas-fused MRF stages.
 
@@ -318,6 +319,11 @@ def generator_apply_fused(
     fall back to XLA *by measurement*, not by VMEM necessity —
     ops/fused_mrf.py:pick_t_blk fits them when asked.
     Numerics match ``HifiGanGenerator.apply`` (tests/test_fused_mrf.py).
+
+    ``truncate=("pre", 0) | ("up", i) | ("mrf", i)`` returns the raw
+    activations right after conv_pre / upsampler i / stage i's MRF sum —
+    benchmarks/bench_vocoder_stages.py rooflines the prefix deltas to
+    attribute per-stage cost inside the real fused program.
     """
     from ..ops.fused_mrf import fused_branch_fits, mrf_branch_pallas, mrf_branch_reference
 
@@ -326,6 +332,8 @@ def generator_apply_fused(
     x = conv1d(
         spectrogram.astype(cd), params["conv_pre"]["kernel"].astype(cd), params["conv_pre"]["bias"].astype(cd), padding=3
     )
+    if truncate == ("pre", 0):
+        return x
 
     num_kernels = len(cfg.resblock_kernel_sizes)
     use_pallas_backend = force_fused or jax.default_backend() in ("tpu", "axon")
@@ -334,6 +342,8 @@ def generator_apply_fused(
         x = nn.leaky_relu(x, cfg.leaky_relu_slope)
         up = params[f"upsampler_{i}"]
         x = upsample_conv_transpose(x, up["kernel"].astype(cd), up["bias"].astype(cd), rate, (kernel - rate) // 2)
+        if truncate == ("up", i):
+            return x
 
         res = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
@@ -355,6 +365,8 @@ def generator_apply_fused(
                 out = mrf_branch_reference(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope)
             res = out if res is None else res + out
         x = res / num_kernels
+        if truncate == ("mrf", i):
+            return x
 
     x = nn.leaky_relu(x, cfg.leaky_relu_slope)
     x = conv1d(x, params["conv_post"]["kernel"].astype(cd), params["conv_post"]["bias"].astype(cd), padding=3)

@@ -72,6 +72,43 @@ def test_generator_apply_fused_matches_module():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_generator_apply_fused_truncate_prefixes():
+    """truncate points return the right intermediate shapes and the chain of
+    prefixes is consistent with the full program (bench_vocoder_stages.py)."""
+    from speech_resynth_tpu.core.precision import FLOAT32
+    from speech_resynth_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator, generator_apply_fused
+
+    cfg = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=16,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    gen = HifiGanGenerator(cfg, policy=FLOAT32)
+    mel = jnp.asarray(np.random.default_rng(3).standard_normal((2, 12, 8)), jnp.float32)
+    variables = gen.init(jax.random.key(0), mel)
+    p = variables["params"]
+
+    kw = dict(compute_dtype=jnp.float32)
+    pre = generator_apply_fused(p, cfg, mel, truncate=("pre", 0), **kw)
+    assert pre.shape == (2, 12, 16)  # conv_pre: model_in_dim -> initial channels
+    # transpose conv: out = (L-1)*rate - 2*pad + K, pad = (K-rate)//2
+    l0 = (12 - 1) * 5 - 2 * 2 + 10  # 61
+    up0 = generator_apply_fused(p, cfg, mel, truncate=("up", 0), **kw)
+    mrf0 = generator_apply_fused(p, cfg, mel, truncate=("mrf", 0), **kw)
+    assert up0.shape == mrf0.shape == (2, l0, 8)  # C halved per stage
+    l1 = (l0 - 1) * 4 - 2 * 2 + 8  # 244
+    mrf1 = generator_apply_fused(p, cfg, mel, truncate=("mrf", 1), **kw)
+    assert mrf1.shape == (2, l1, 4)
+    # the full program equals the module forward (truncate=None unchanged)
+    full = generator_apply_fused(p, cfg, mel, **kw)
+    ref = gen.apply(variables, mel)
+    assert full.shape == ref.shape == (2, l1)  # conv_post K=7 pad=3 keeps length
+    np.testing.assert_allclose(np.asarray(full), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_halo_math():
     assert FM.branch_halo(3, (1, 3, 5)) == (1 + 1) + (3 + 1) + (5 + 1)
     assert FM.branch_halo(11, (1, 3, 5)) == (5 + 5) + (15 + 5) + (25 + 5)
