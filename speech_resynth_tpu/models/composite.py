@@ -162,6 +162,9 @@ class ConditionalFlowMatchingWithHifiGan:
         pcm16: bool = False,
         mulaw: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
+        if pcm16 and mulaw:
+            # both are static args, so this raises at trace time, not per call
+            raise ValueError("pcm16 and mulaw are mutually exclusive wire formats")
         spectrogram, frame_mask = self.model.apply(
             self.model_variables,
             input_ids,

@@ -57,9 +57,11 @@ class SynthesisServer:
         self.dt = dt
         self.truncation_value = truncation_value
         self.length_multiple = length_multiple
-        self.pcm16 = pcm16
         # mulaw=True returns uint8 G.711-style codes (dsp/mulaw.py decodes):
-        # half the PCM16 wire bytes for wire-bound deployments
+        # half the PCM16 wire bytes for wire-bound deployments.  It takes
+        # precedence over the pcm16 default — synthesize() treats the two
+        # wire formats as mutually exclusive.
+        self.pcm16 = pcm16 and not mulaw
         self.mulaw = mulaw
         self._rng = jax.random.key(seed)
         self.max_inflight = max_inflight

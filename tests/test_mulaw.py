@@ -109,3 +109,14 @@ def test_server_mulaw_wire(decoder):
     rng = np.random.default_rng(3)
     wavs = server.synthesize_many([rng.integers(1, 10, n).astype(np.int32) for n in (5, 3, 7)])
     assert len(wavs) == 3 and all(w.dtype == np.uint8 for w in wavs)
+
+
+def test_wire_formats_mutually_exclusive(decoder):
+    ids = jnp.ones((2, 4), jnp.int32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        decoder.synthesize(ids, dt=0.5, pcm16=True, mulaw=True)
+    # the server resolves the ambiguity: mulaw overrides the pcm16 default
+    from speech_resynth_tpu.pipeline.serving import SynthesisServer
+
+    server = SynthesisServer(decoder, batch_size=2, dt=0.5, length_multiple=8, mulaw=True)
+    assert server.mulaw and not server.pcm16
