@@ -51,6 +51,9 @@ class CFMConfig:
     mean: float = -5.8843
     std: float = 2.2615
     predict_duration: bool = False
+    # activation checkpointing for the transformer blocks (training memory
+    # knob, not in the reference config schema — see TransformerConfig.remat)
+    remat: bool = False
 
     def transformer(self) -> TransformerConfig:
         return TransformerConfig(
@@ -63,6 +66,7 @@ class CFMConfig:
             use_unet_skip_connection=self.use_unet_skip_connection,
             conv_pos_embed_kernel_size=self.conv_pos_embed_kernel_size,
             conv_pos_embed_groups=self.conv_pos_embed_groups,
+            remat=self.remat,
         )
 
 

@@ -36,6 +36,12 @@ class TransformerConfig:
     use_unet_skip_connection: bool = False
     conv_pos_embed_kernel_size: int = 31
     conv_pos_embed_groups: int = 256
+    # activation checkpointing: recompute each attention/feed-forward block
+    # in the backward pass instead of saving its internals — trades ~1/3 more
+    # FLOPs for O(depth) less activation HBM, buying bigger batches / longer
+    # sequences at the reference's 2700-frame training batches.  Param tree
+    # and numerics are unchanged (tests/test_remat.py).
+    remat: bool = False
 
 
 def rotary_frequencies(seq_len: int, dim: int, theta: float = 10000.0) -> jax.Array:
@@ -269,6 +275,13 @@ class Transformer(nn.Module):
         n = x.shape[1]
         rotary_pos = rotary_frequencies(n, cfg.hidden_size // cfg.heads)
 
+        # nn.remat counts ``self`` as argument 0, so ``deterministic`` (a
+        # static python bool branching on dropout) is positional index 4/3
+        attn_cls, ff_cls = Attention, ConvFeedForward
+        if cfg.remat:
+            attn_cls = nn.remat(Attention, static_argnums=(4,))
+            ff_cls = nn.remat(ConvFeedForward, static_argnums=(3,))
+
         skips = []
         for ind in range(cfg.depth):
             layer = ind + 1
@@ -288,25 +301,25 @@ class Transformer(nn.Module):
 
             attn_in = AdaptiveRMSNorm(cfg.hidden_size, self.policy, name=f"layers_{ind}_attn_norm")(x, time_cond)
             x = (
-                Attention(
+                attn_cls(
                     cfg.hidden_size,
                     cfg.heads,
                     cfg.attn_dropout,
                     self.policy,
                     self.attn_implementation,
                     name=f"layers_{ind}_attn",
-                )(attn_in, mask=mask, rotary_pos=rotary_pos, deterministic=deterministic)
+                )(attn_in, mask, rotary_pos, deterministic)
                 + x
             )
             ff_in = AdaptiveRMSNorm(cfg.hidden_size, self.policy, name=f"layers_{ind}_ff_norm")(x, time_cond)
             x = (
-                ConvFeedForward(
+                ff_cls(
                     cfg.hidden_size,
                     cfg.intermediate_size,
                     cfg.ff_dropout,
                     policy=self.policy,
                     name=f"layers_{ind}_ff",
-                )(ff_in, mask=mask, deterministic=deterministic)
+                )(ff_in, mask, deterministic)
                 + x
             )
 

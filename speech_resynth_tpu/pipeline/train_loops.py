@@ -139,6 +139,7 @@ def train_flow_matching(config) -> None:
         mean=fm.mean,
         std=fm.std,
         predict_duration=fm.predict_duration,
+        remat=bool(fm.get("remat") or False),  # optional memory knob, not a reference key
     )
     trainer_config = CFMTrainerConfig(
         batch_size=batch_size,
@@ -469,6 +470,7 @@ def train_speechlm(config) -> None:
         beta2=config.optim.beta2,
         max_norm=config.optim.max_norm,
         summary_interval=config.optim.summary_interval,
+        remat=bool(config.optim.get("remat") or False),  # optional memory knob
     )
 
     train_set = UnitTextDataset(

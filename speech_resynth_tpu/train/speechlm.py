@@ -48,6 +48,10 @@ class SpeechLMTrainerConfig:
     # XLA's fused fwd+bwd beats flash-fwd + recompute-bwd at 96x128 on v5e.
     # Set "auto" to re-run the A/B through attention_implementation().
     attn_implementation: str = "xla"
+    # activation checkpointing (LlamaLM.remat): recompute layers in the
+    # backward pass — enables longer sequences / bigger per-device batches
+    # when activations, not params, bound HBM
+    remat: bool = False
 
 
 # TP layout lives with the rest of the parallelism logic; kept as
@@ -78,6 +82,7 @@ def make_speechlm_trainer(
         policy=policy,
         hidden_sharding=hidden_sharding,
         attn_implementation=trainer_config.attn_implementation,
+        remat=trainer_config.remat,
     )
     # init with an unconstrained twin: the eager init batch (1, 8) need not
     # be divisible by the mesh; the param tree is identical either way
