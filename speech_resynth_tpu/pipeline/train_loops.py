@@ -152,6 +152,7 @@ def train_flow_matching(config) -> None:
         summary_interval=fm.summary_interval,
         save_interval_epoch=fm.save_interval_epoch,
         seed=int(config.common.seed),
+        accum_steps=int(fm.get("accum_steps") or 1),
     )
 
     train_set = UnitDataset(
@@ -471,6 +472,7 @@ def train_speechlm(config) -> None:
         max_norm=config.optim.max_norm,
         summary_interval=config.optim.summary_interval,
         remat=bool(config.optim.get("remat") or False),  # optional memory knob
+        accum_steps=int(config.optim.get("accum_steps") or 1),
     )
 
     train_set = UnitTextDataset(

@@ -116,6 +116,9 @@ class CFMTrainerConfig:
     dt: float = 0.0625
     truncation_value: float = 1.0
     seed: int = 0
+    # gradient accumulation (optax.MultiSteps): N micro-batches per real
+    # update — effective batch N x batch_size at constant activation HBM
+    accum_steps: int = 1
 
 
 def make_trainer(
@@ -129,7 +132,10 @@ def make_trainer(
     """Build (model, state, jitted step, shard_fn) for the CFM task."""
     model, variables = build_model(model_config, embedding_table, policy, trainer_config.seed)
     schedule = warmup_linear_decay(total_steps, trainer_config.warmup_steps, trainer_config.lr, trainer_config.lr_min)
-    tx = make_optimizer(schedule, b1=0.9, b2=0.98, eps=1e-9, max_norm=trainer_config.max_norm)
+    tx = make_optimizer(
+        schedule, b1=0.9, b2=0.98, eps=1e-9, max_norm=trainer_config.max_norm,
+        accum_steps=trainer_config.accum_steps,
+    )
     state = TrainState.create(variables["params"], tx, extra=variables.get("buffers", {}))
     state = jax.device_put(state, NamedSharding(mesh, P()))
     step_fn, data_shard = make_train_step(model, tx, mesh)

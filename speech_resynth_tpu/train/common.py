@@ -42,14 +42,27 @@ def make_optimizer(
     eps: float = 1e-9,
     max_norm: Optional[float] = 0.1,
     weight_decay: float = 0.01,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW matching torch.optim.AdamW defaults (weight_decay 0.01) with the
-    reference's betas/eps and clip-by-global-norm."""
+    reference's betas/eps and clip-by-global-norm.
+
+    ``accum_steps > 1`` wraps the chain in optax.MultiSteps: gradients are
+    averaged over N micro-batch steps before one real update — the effective
+    batch is N x the per-step batch without N x the activation HBM (pairs
+    with the ``remat`` flag for memory-bound scales).  Clipping and the LR
+    schedule both see the ACCUMULATED update (MultiSteps advances the inner
+    optimizer only on emit steps), matching a true N x batch run whose
+    ``total_steps`` counts real updates.
+    """
     chain = []
     if max_norm is not None:
         chain.append(optax.clip_by_global_norm(max_norm))
     chain.append(optax.adamw(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 class TrainState(struct.PyTreeNode):

@@ -52,6 +52,8 @@ class SpeechLMTrainerConfig:
     # backward pass — enables longer sequences / bigger per-device batches
     # when activations, not params, bound HBM
     remat: bool = False
+    # gradient accumulation (optax.MultiSteps): N micro-batches per update
+    accum_steps: int = 1
 
 
 # TP layout lives with the rest of the parallelism logic; kept as
@@ -97,6 +99,7 @@ def make_speechlm_trainer(
         b2=trainer_config.beta2,
         eps=1e-8,  # torch AdamW default (speechlm passes no eps)
         max_norm=trainer_config.max_norm,
+        accum_steps=trainer_config.accum_steps,
     )
 
     p_shard = param_shardings(mesh, variables["params"])

@@ -82,6 +82,60 @@ def test_speechlm_train_step_dp():
     assert losses[-1] < losses[0]
 
 
+def test_gradient_accumulation_semantics():
+    """accum_steps=2: no param change on the odd micro-step; the emit step
+    applies exactly what one update with the mean gradient would apply."""
+    import optax
+
+    from speech_resynth_tpu.train.common import make_optimizer
+
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    g1 = {"w": jnp.asarray([0.1, -0.2, 0.3]), "b": jnp.asarray([0.5, -0.5])}
+    g2 = {"w": jnp.asarray([0.3, 0.2, -0.1]), "b": jnp.asarray([-0.1, 0.1])}
+    mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+    kw = dict(b1=0.9, b2=0.98, eps=1e-9, max_norm=1.0, weight_decay=0.01)
+
+    base = make_optimizer(lambda _: 1e-2, **kw)
+    acc = make_optimizer(lambda _: 1e-2, accum_steps=2, **kw)
+
+    s_acc = acc.init(params)
+    u1, s_acc = acc.update(g1, s_acc, params)
+    assert all(np.allclose(np.asarray(u), 0.0) for u in jax.tree_util.tree_leaves(u1))
+    u2, s_acc = acc.update(g2, s_acc, params)
+
+    s_base = base.init(params)
+    u_ref, _ = base.update(mean, s_base, params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), u2, u_ref
+    )
+
+
+def test_speechlm_train_step_with_accumulation():
+    """accum_steps wired through the trainer: params move only every 2nd step."""
+    mesh = make_mesh(data=8)
+    cfg = LlamaConfig(vocab_size=40, hidden_size=16, intermediate_size=32, num_hidden_layers=2, num_attention_heads=2)
+    _, state, step_fn, _ = make_speechlm_trainer(
+        cfg, SpeechLMTrainerConfig(accum_steps=2), mesh, total_steps=100, policy=FLOAT32
+    )
+    rng = np.random.default_rng(1)
+    ids = rng.integers(2, 40, (16, 12)).astype(np.int32)
+    batch = shard_batch(
+        {"input_ids": ids, "attention_mask": np.ones_like(ids), "labels": ids.astype(np.int32)}, mesh
+    )
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, m1 = step_fn(state, batch)
+    # micro-step 1 of 2: gradients accumulated, params unchanged
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)), p0, state.params
+    )
+    state, m2 = step_fn(state, batch)
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(state.params))
+    )
+    assert moved and np.isfinite(float(m2["loss"]))
+
+
 def test_speechlm_tensor_parallel_shardings():
     mesh = make_mesh(data=2, model=4)
     cfg = LlamaConfig(vocab_size=40, hidden_size=16, intermediate_size=32, num_hidden_layers=1, num_attention_heads=2)
