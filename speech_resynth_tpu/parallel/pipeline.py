@@ -34,7 +34,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 promotes shard_map out of experimental (check_rep -> check_vma)
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
+
+    def shard_map(f, *, check_vma=True, **kw):
+        return _legacy_shard_map(f, check_rep=check_vma, **kw)
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS, MODEL_AXIS
@@ -137,7 +144,7 @@ def pipelined_llama_loss_fn(config, mesh: Mesh, num_microbatches: int, policy=No
             mesh=mesh,
             in_specs=(P(MODEL_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
             out_specs=P(None, DATA_AXIS),
-            check_rep=False,
+            check_vma=False,  # pre-0.8 name: check_rep
         )(params["layers"], xs, masks, rope)
         y = y.reshape(B, L, -1)
 
