@@ -1,0 +1,51 @@
+"""Keep the measurement harnesses runnable: CPU --tiny smoke of the roofline
+benches.  These scripts produce the evidence PARITY.md's perf claims rest on;
+a bench that stops importing/running is a silent hole in the methodology.
+Timings on CPU are meaningless — only exit status and JSON shape are checked.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_bench(rel: str, *extra: str) -> list:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    out = subprocess.run(
+        [sys.executable, str(REPO / rel), "--cpu", "--tiny", "--batch", "2", "--units", "8",
+         "--iters", "1", "--trials", "1", *extra],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(line) for line in out.stdout.splitlines() if line.startswith("{")]
+    assert rows, out.stdout[-2000:]
+    return rows
+
+
+@pytest.mark.slow
+def test_bench_roofline_smoke():
+    rows = _run_bench("benchmarks/bench_roofline.py")
+    programs = {r["program"] for r in rows if "program" in r}
+    assert programs == {"synthesize", "ode", "vocoder"}
+    for r in rows:
+        if "program" in r:
+            assert r["ms"] > 0 and r["gbytes"] >= 0
+
+
+@pytest.mark.slow
+def test_bench_vocoder_stages_smoke():
+    rows = _run_bench("benchmarks/bench_vocoder_stages.py")
+    stages = [r["stage"] for r in rows if "stage" in r]
+    # tiny config has 2 upsample stages: pre, (up, mrf) x 2, post tail, full
+    assert stages == ["pre0", "up0", "mrf0", "up1", "mrf1", "post", "full"]
