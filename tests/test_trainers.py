@@ -177,6 +177,41 @@ def test_checkpoint_manager_roundtrip(tmp_path):
         assert int(restored["step"]) == 7
 
 
+def test_checkpoint_roundtrip_with_accumulation_state(tmp_path):
+    """optax.MultiSteps state (grad accumulators, mini_step counter) must
+    survive an Orbax save/restore mid-accumulation-window, so a killed run
+    resumes without losing or double-counting micro-batch gradients."""
+    from speech_resynth_tpu.core.checkpoint import CheckpointManager
+
+    mesh = make_mesh(data=8)
+    cfg = LlamaConfig(vocab_size=40, hidden_size=16, intermediate_size=32, num_hidden_layers=2, num_attention_heads=2)
+    _, state, step_fn, _ = make_speechlm_trainer(
+        cfg, SpeechLMTrainerConfig(accum_steps=2), mesh, total_steps=100, policy=FLOAT32
+    )
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2, 40, (16, 12)).astype(np.int32)
+    batch = shard_batch(
+        {"input_ids": ids, "attention_mask": np.ones_like(ids), "labels": ids.astype(np.int32)}, mesh
+    )
+    state, _ = step_fn(state, batch)  # mid-window: one micro-batch accumulated
+
+    with CheckpointManager(tmp_path / "ckpt", async_save=False) as mgr:
+        mgr.save(1, state)
+        mgr.wait()
+    with CheckpointManager(tmp_path / "ckpt", async_save=False) as mgr2:
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = mgr2.restore(template)
+
+    # continuing the restored state emits the same update as the original
+    cont_a, _ = step_fn(state, batch)
+    cont_b, _ = step_fn(jax.device_put(restored, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())), batch)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        cont_a.params,
+        cont_b.params,
+    )
+
+
 def test_fsdp_rules_shard_and_run():
     """fsdp_rules: large kernels sharded over data (and model when tp=True);
     a jitted forward executes under the sharded layout."""
