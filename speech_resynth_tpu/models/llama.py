@@ -321,3 +321,85 @@ def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_toke
     arguments, never HLO constants.
     """
     return _greedy_decode_impl(model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id)
+
+
+def _filter_logits(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
+    """HF-order logit filtering on (B, V) f32: top-k, then nucleus (top-p).
+    Ties at either threshold are kept (same as HF's >= comparisons)."""
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_desc = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix whose mass reaches top_p (always >= 1 tok)
+        k_keep = jnp.sum((cum - probs) < top_p, axis=-1, keepdims=True)
+        thresh = jnp.take_along_axis(sorted_desc, k_keep - 1, axis=-1)
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return logits
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8))
+def _sample_decode_impl(
+    model: "LlamaLM",
+    variables,
+    prompt_ids,
+    max_new_tokens: int,
+    eos_token_id: int,
+    rng,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+):
+    b, p = prompt_ids.shape
+    cache = model.init_cache(b, p + max_new_tokens)
+
+    def select(logits, key):
+        l32 = logits.astype(jnp.float32)
+        if temperature == 0.0:  # static: greedy limit
+            return jnp.argmax(l32, axis=-1).astype(prompt_ids.dtype)
+        l32 = _filter_logits(l32 / temperature, top_k, top_p)
+        return jax.random.categorical(key, l32, axis=-1).astype(prompt_ids.dtype)
+
+    k0, rng = jax.random.split(rng)
+    logits, cache = model.apply(variables, prompt_ids, cache=cache, cache_index=jnp.asarray(0))
+    next_tok = select(logits[:, -1], k0)
+    done = next_tok == eos_token_id
+
+    def step(carry, i):
+        cache, tok, done, rng = carry
+        key, rng = jax.random.split(rng)
+        logits, cache = model.apply(variables, tok[:, None], cache=cache, cache_index=p + i)
+        nxt = select(logits[:, -1], key)
+        nxt = jnp.where(done, jnp.asarray(eos_token_id, tok.dtype), nxt)
+        done = done | (nxt == eos_token_id)
+        return (cache, nxt, done, rng), tok
+
+    (_, last, _, _), toks = jax.lax.scan(step, (cache, next_tok, done, rng), jnp.arange(max_new_tokens - 1))
+    return jnp.concatenate([prompt_ids, jnp.swapaxes(toks, 0, 1), last[:, None]], axis=1)
+
+
+def sample_decode(
+    model: LlamaLM,
+    variables,
+    prompt_ids: jax.Array,
+    max_new_tokens: int,
+    eos_token_id: int = 1,
+    rng: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+):
+    """KV-cached ancestral sampling with temperature / top-k / nucleus
+    filtering (HF sampling-order semantics); returns (B, prompt+max_new) ids.
+
+    ``temperature=0`` degenerates to greedy.  Beyond the reference's
+    capability set — its speech LM only scores (speechlm/eval.py), never
+    generates; this pairs with greedy_decode for unit-language generation.
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    return _sample_decode_impl(
+        model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id, rng, temperature, top_k, top_p
+    )

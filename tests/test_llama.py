@@ -127,6 +127,46 @@ def test_greedy_decode_runs_and_stops(models):
     np.testing.assert_array_equal(np.asarray(seq[:, :3]), np.asarray(prompt))
 
 
+def test_sample_decode_greedy_limits(models):
+    """temperature=0 and top_k=1 both reduce sampling to greedy decoding."""
+    cfg, _, model, variables = models
+    prompt = jnp.asarray([[2, 3, 4], [5, 6, 7]])
+    ref = L.greedy_decode(model, variables, prompt, max_new_tokens=5, eos_token_id=cfg.eos_token_id)
+    t0 = L.sample_decode(model, variables, prompt, max_new_tokens=5, eos_token_id=cfg.eos_token_id, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(t0))
+    k1 = L.sample_decode(
+        model, variables, prompt, max_new_tokens=5, eos_token_id=cfg.eos_token_id, temperature=0.7, top_k=1
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(k1))
+
+
+def test_sample_decode_reproducible_and_valid(models):
+    cfg, _, model, variables = models
+    prompt = jnp.asarray([[2, 3, 4]])
+    kw = dict(max_new_tokens=6, eos_token_id=cfg.eos_token_id, temperature=1.3, top_k=8, top_p=0.9)
+    a = L.sample_decode(model, variables, prompt, rng=jax.random.key(5), **kw)
+    b = L.sample_decode(model, variables, prompt, rng=jax.random.key(5), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same rng -> same draw
+    assert a.shape == (1, 9)
+    ids = np.asarray(a)
+    assert (ids >= 0).all() and (ids < cfg.vocab_size).all()
+    np.testing.assert_array_equal(ids[:, :3], np.asarray(prompt))
+    # once EOS is emitted everything after stays EOS
+    row = ids[0, 3:]
+    hits = np.where(row == cfg.eos_token_id)[0]
+    if hits.size:
+        assert (row[hits[0]:] == cfg.eos_token_id).all()
+
+
+def test_filter_logits_top_p_keeps_minimal_prefix():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.1, 0.1]]))
+    out = np.asarray(L._filter_logits(logits, top_k=0, top_p=0.7))
+    # 0.5 alone < 0.7, 0.5+0.3 >= 0.7 -> keep exactly the first two
+    assert np.isfinite(out[0, :2]).all() and np.isinf(out[0, 2:]).all()
+    # top_p=1.0 is a no-op
+    np.testing.assert_array_equal(np.asarray(L._filter_logits(logits, 0, 1.0)), np.asarray(logits))
+
+
 def test_scan_layers_matches_unrolled():
     """scan_layers=True (one traced layer body) must produce identical
     logits and an equivalent KV cache to the unrolled module."""
