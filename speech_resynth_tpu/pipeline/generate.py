@@ -68,8 +68,14 @@ def generate_unit_continuation(
     hits = np.where(seq == eos_token_id)[0]
     if hits.size:
         seq = seq[: hits[0]]
-    # un-shift to BPE ids; drop any stray special ids (pad/bos) defensively
-    gen_bpe = [int(t) - num_special_tokens for t in seq if int(t) >= num_special_tokens]
+    # un-shift to BPE ids; drop stray special ids (pad/bos) and any ids past
+    # the tokenizer vocabulary (the LM head may be padded wider) defensively
+    vocab = tokenizer.vocab_size
+    gen_bpe = [
+        int(t) - num_special_tokens
+        for t in seq
+        if num_special_tokens <= int(t) < vocab + num_special_tokens
+    ]
     text = "".join(tokenizer.token(t) for t in gen_bpe)
     return np.asarray(unicode_to_units(text), np.int32)
 

@@ -625,3 +625,90 @@ def eval_speechlm(config) -> None:
     with CheckpointManager(Path(config.model.path) / "ckpt") as ckpt:
         state = ckpt.restore(state)
     return evaluate(config, model, {"params": state.params})
+
+
+def generate_speechlm(
+    config,
+    prompt_wav: str,
+    out_wav: str = None,
+    decoder_dir: str = None,
+    max_new_tokens: int = 128,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    seed: int = 0,
+) -> dict:
+    """Textless continuation stage: prompt wav -> units -> LM sampling ->
+    units (-> waveform when a resynthesis decoder dir is given).
+
+    Loads the trained speech-LM checkpoint exactly like ``eval_speechlm``
+    and the BPE tokenizer from ``config.s2u.tokenizer_path``.  Returns the
+    pipeline/generate.py result dict (plus writes ``out_wav`` if requested).
+    Beyond the reference CLI surface — its speech LM never generates.
+    """
+    import jax
+
+    from ..dsp import audio_io
+    from ..train.speechlm import SpeechLMTrainerConfig, make_speechlm_trainer
+    from ..tokenizers.bpe import BpeTokenizer
+    from .generate import continue_speech, generate_unit_continuation
+    from .speechlm import _make_encoder
+
+    tokenizer = BpeTokenizer.from_file(config.s2u.tokenizer_path)
+    num_special = len(
+        {
+            t
+            for t in (
+                config.model.get("pad_token_id"),
+                config.model.get("bos_token_id"),
+                config.model.get("eos_token_id"),
+            )
+            if t is not None
+        }
+    )
+    model_config = LlamaConfig(
+        vocab_size=config.model.vocab_size + num_special,
+        hidden_size=config.model.hidden_size,
+        intermediate_size=config.model.intermediate_size,
+        num_hidden_layers=config.model.num_hidden_layers,
+        num_attention_heads=config.model.num_attention_heads,
+        pad_token_id=config.model.get("pad_token_id") or 0,
+        bos_token_id=config.model.get("bos_token_id"),
+        eos_token_id=config.model.get("eos_token_id"),
+    )
+    mesh = make_mesh()
+    model, state, _, _ = make_speechlm_trainer(
+        model_config, SpeechLMTrainerConfig(attn_implementation="auto"), mesh, total_steps=1
+    )
+    with CheckpointManager(Path(config.model.path) / "ckpt") as ckpt:
+        state = ckpt.restore(state)
+    variables = {"params": state.params}
+
+    encoder = _make_encoder(config)
+    wav, sr = audio_io.read(prompt_wav)
+    out = encoder(wav.astype(np.float32))  # 1-D input -> squeezed 1-D units
+    units = np.asarray(out["units"])
+
+    kwargs = dict(
+        max_new_tokens=max_new_tokens,
+        eos_token_id=model_config.eos_token_id if model_config.eos_token_id is not None else 1,
+        num_special_tokens=num_special,
+        temperature=temperature,
+        top_k=top_k,
+        top_p=top_p,
+        rng=jax.random.key(seed),
+    )
+    if decoder_dir is None:
+        generated = generate_unit_continuation(units, tokenizer, model, variables, **kwargs)
+        print(" ".join(str(u) for u in generated))
+        return {"units": np.concatenate([units, generated]), "generated_units": generated, "waveform": None}
+
+    from ..models.composite import ConditionalFlowMatchingWithHifiGan
+
+    decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(decoder_dir)
+    result = continue_speech(units, tokenizer, model, variables, decoder, **kwargs)
+    if out_wav:
+        audio_io.write(out_wav, result["waveform"], 16000)
+        print(f"wrote {out_wav} ({result['waveform'].size / 16000:.2f}s, "
+              f"{len(result['generated_units'])} new units)")
+    return result

@@ -95,6 +95,69 @@ def test_speechlm_loop_resume_and_scores(tmp_path):
     assert len(test_scores.read_text().splitlines()) == 2
 
 
+def test_speechlm_generate_stage(tmp_path):
+    """CLI 'generate': prompt wav -> units -> trained-LM sampling -> units."""
+    import jax
+    from speech_resynth_tpu import models as _m  # noqa: F401  (package import path)
+    from speech_resynth_tpu.dsp import audio_io
+    from speech_resynth_tpu.models import speech_encoder as SE
+    from speech_resynth_tpu.models.hubert import HubertConfig
+    from speech_resynth_tpu.pipeline.train_loops import generate_speechlm, train_speechlm
+    from speech_resynth_tpu.text.units import units_to_unicode
+    from speech_resynth_tpu.tokenizers.bpe import BpeTokenizer
+
+    SE.DENSE_MODELS["_gen_tiny"] = {
+        "config": HubertConfig(
+            hidden_size=16,
+            num_hidden_layers=1,
+            num_attention_heads=2,
+            intermediate_size=24,
+            conv_dim=(8, 8, 8),
+            conv_kernel=(10, 8, 4),
+            conv_stride=(10, 8, 4),
+            num_conv_pos_embeddings=8,
+            num_conv_pos_embedding_groups=2,
+        ),
+        "output_layer": 1,
+    }
+    try:
+        cfg_dict = dict(make_cfg(tmp_path, epoch=1))
+        # BPE over the full unit alphabet, vocab matching model.vocab_size so
+        # every sampled LM id maps back to a token
+        rng = np.random.default_rng(3)
+        lines = [units_to_unicode(rng.integers(0, 20, 16)) for _ in range(40)]
+        tokenizer = BpeTokenizer.train(lines, vocab_size=22, initial_alphabet=units_to_unicode(range(20)))
+        tok_path = tmp_path / "tokenizer.json"
+        tokenizer.save(str(tok_path))
+        cfg = config_from_dict(
+            {
+                **{k: dict(v) for k, v in cfg_dict.items()},
+                "s2u": {
+                    "dense_model_name": "_gen_tiny",
+                    "quantizer_model_name": "kmeans",
+                    "vocab_size": 20,
+                    "tokenizer_path": str(tok_path),
+                },
+            }
+        )
+        train_speechlm(cfg)
+
+        t = np.arange(16000) / 16000
+        wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        wav += 0.01 * np.random.default_rng(0).standard_normal(wav.size).astype(np.float32)
+        audio_io.write(tmp_path / "prompt.wav", wav, 16000)
+
+        result = generate_speechlm(
+            cfg, str(tmp_path / "prompt.wav"), max_new_tokens=6, temperature=0.8, top_k=5, seed=1
+        )
+        assert result["waveform"] is None  # no decoder dir given
+        gen = result["generated_units"]
+        assert gen.dtype == np.int32 and ((gen >= 0) & (gen < 20)).all()
+        assert len(result["units"]) >= len(gen)
+    finally:
+        SE.DENSE_MODELS.pop("_gen_tiny", None)
+
+
 def test_speechlm_hf_export_loads_in_torch(tmp_path):
     """The loop's rank-0 save_pretrained parity (speechlm/train.py:211):
     the exported directory must load with HF LlamaForCausalLM and produce
