@@ -333,8 +333,9 @@ def _filter_logits(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
         sorted_desc = -jnp.sort(-logits, axis=-1)
         probs = jax.nn.softmax(sorted_desc, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep the smallest prefix whose mass reaches top_p (always >= 1 tok)
-        k_keep = jnp.sum((cum - probs) < top_p, axis=-1, keepdims=True)
+        # keep the smallest prefix whose mass reaches top_p (always >= 1 tok,
+        # even for degenerate top_p <= 0)
+        k_keep = jnp.maximum(jnp.sum((cum - probs) < top_p, axis=-1, keepdims=True), 1)
         thresh = jnp.take_along_axis(sorted_desc, k_keep - 1, axis=-1)
         logits = jnp.where(logits < thresh, -jnp.inf, logits)
     return logits
