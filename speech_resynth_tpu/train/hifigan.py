@@ -40,6 +40,12 @@ from ..models.hifigan import (
 
 @dataclasses.dataclass
 class HifiGanTrainerConfig:
+    # NOTE: no accum_steps here by design — CFM/speech-LM expose gradient
+    # accumulation (train/common.py make_optimizer), but the GAN step
+    # interleaves D and G updates against *freshly updated* discriminators
+    # inside one program (reference hifigan/train.py per-step D->G order);
+    # accumulating either side would change those adversarial dynamics, so
+    # scale GAN batch via data parallelism instead.
     batch_size: int = 64
     segment_size: int = 16080
     training_epochs: int = 181
