@@ -58,32 +58,10 @@ def main():
 
     # Backend reachability probe: when the tunneled TPU is down, jax.devices()
     # blocks forever inside backend init — a hung bench is worse than a failed
-    # one, so probe on a daemon thread and emit a diagnostic JSON line instead
-    # (observed 2026-08-17: multi-hour tunnel outage mid round 3).
-    import os
-    import threading
+    # one (core/backend.py; observed 2026-08-17 multi-hour tunnel outage).
+    from speech_resynth_tpu.core.backend import require_backend
 
-    probe_ok = threading.Event()
-
-    def _probe():
-        jax.devices()
-        probe_ok.set()
-
-    threading.Thread(target=_probe, daemon=True).start()
-    if not probe_ok.wait(timeout=240):
-        print(
-            json.dumps(
-                {
-                    "metric": "resynthesis_rtf",
-                    "value": 0.0,
-                    "unit": "x_realtime",
-                    "vs_baseline": 0.0,
-                    "error": "accelerator backend unreachable (jax.devices() hung >240s; TPU tunnel down?)",
-                }
-            ),
-            flush=True,
-        )
-        os._exit(1)  # the hung init thread cannot be joined; hard-exit
+    require_backend(240, metric="resynthesis_rtf", unit="x_realtime")
 
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
     from speech_resynth_tpu.core.precision import BF16_INFERENCE

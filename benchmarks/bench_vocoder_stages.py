@@ -45,6 +45,10 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from speech_resynth_tpu.core.backend import require_backend
+
+    require_backend(240, metric="vocoder_stages")  # fail fast when the tunnel is down
+
     from speech_resynth_tpu.core.metrics import compiled_cost, device_peak_flops, device_peak_hbm_bw
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
     from speech_resynth_tpu.models.cfm import CFMConfig
