@@ -74,6 +74,17 @@ def main():
         seq = np.asarray(greedy_decode(model, variables, prompt, max_new_tokens=96))
     decode_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
 
+    # sampled decode: the top-p filter sorts (B, V) every step — quantify
+    # what temperature/top-k/nucleus costs vs greedy at the same shape
+    from speech_resynth_tpu.models.llama import sample_decode
+
+    samp_kw = dict(max_new_tokens=96, temperature=0.9, top_k=64, top_p=0.95, rng=jax.random.key(0))
+    np.asarray(sample_decode(model, variables, prompt, **samp_kw))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(sample_decode(model, variables, prompt, **samp_kw))
+    sample_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -81,6 +92,7 @@ def main():
                 "value": round(scoring_tps, 0),
                 "unit": "tokens/s",
                 "decode_tokens_per_sec": round(decode_tps, 0),
+                "sample_decode_tokens_per_sec": round(sample_tps, 0),
                 "scan_layers_tokens_per_sec": round(scan_tps, 0),
                 "compile_s_unrolled": round(unrolled_compile_s, 1),
                 "compile_s_scan_layers": round(scan_compile_s, 1),
