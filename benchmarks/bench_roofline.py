@@ -7,7 +7,10 @@ HiFi-GAN vocoder) it reports
 
 * flops + "bytes accessed" from XLA cost analysis of the compiled
   executable (post-fusion HLO, so bytes ~= HBM traffic between fusions —
-  an upper bound that ignores VMEM reuse inside a fusion);
+  an upper bound that ignores VMEM reuse inside a fusion), CORRECTED for
+  the two blind spots of cost_analysis (scan bodies counted once instead
+  of x trip count; Pallas custom calls counted as zero) — raw values are
+  kept in ``gflops_raw``/``gbytes_raw``;
 * compute-only median time (1-element-slice sync: the tunneled backend's
   block_until_ready does not synchronize, see CLAUDE.md);
 * achieved TFLOP/s and GB/s as fractions of the chip peaks
@@ -171,9 +174,58 @@ def main():
         ),
     }
 
+    # --- XLA cost-analysis blind spots, corrected analytically --------------
+    #
+    # 1. ``lax.scan``/while bodies are counted ONCE, not x trip count: the
+    #    raw "ode" flops on the full-size config (153.5 G) match a hand count
+    #    of exactly ONE velocity evaluation, not the 16 Euler steps the
+    #    program runs.  Correction: multiply the ode cost by num_steps.
+    #    (That also multiplies the scan prologue/epilogue — unit embedding,
+    #    x0 clip, final un-normalize, <2% of one body — documented bias
+    #    toward *overstating* the roof, i.e. conservative headroom.)
+    # 2. Pallas custom calls report zero flops/bytes: the flash-attention
+    #    kernel and the fused MRF branches are invisible to cost_analysis.
+    #    Correction: analytic counts mirroring the exact dispatch gates.
+    from speech_resynth_tpu.ops.attention import auto_dispatch
+    from speech_resynth_tpu.ops.fused_mrf import fused_branch_fits
+
+    num_steps = int(np.ceil(round(1.0 / synth_kw["dt"], 9)))
+    itemsize = 2  # bf16 compute path
+    ccfg = decoder.model.config
+    d_head = ccfg.hidden_size // ccfg.heads
+    n_frames = U  # predict_duration=False: one frame per unit
+    flash_flops = flash_bytes = 0.0
+    if jax.default_backend() in ("tpu", "axon") and auto_dispatch(d_head, n_frames, n_frames, False, True) == "pallas":
+        # per velocity eval: QK^T + PV matmuls per layer (softmax elementwise ~0)
+        flash_flops = ccfg.depth * 4.0 * B * ccfg.heads * n_frames * n_frames * d_head
+        flash_bytes = ccfg.depth * 4.0 * B * ccfg.heads * n_frames * d_head * itemsize  # q,k,v in + o out
+
+    vcfg = decoder.vocoder.config
+    mrf_flops = mrf_bytes = 0.0
+    if use_fused:
+        t_stage = n_frames
+        for i, _rate in enumerate(vcfg.upsample_rates):
+            channels = vcfg.upsample_initial_channel // (2 ** (i + 1))
+            t_stage *= _rate
+            for rk, rd in zip(vcfg.resblock_kernel_sizes, vcfg.resblock_dilation_sizes):
+                if channels <= 64 and rk % 2 == 1 and fused_branch_fits(channels, rk, len(rd), tuple(rd), itemsize):
+                    # len(rd) (dilated conv, dil-1 conv) pairs of CxC k-taps
+                    mrf_flops += len(rd) * 2 * 2.0 * B * t_stage * channels * channels * rk
+                    mrf_bytes += 2.0 * B * t_stage * channels * itemsize  # stream x in, out once
+
+    raw = {n: (compiled_cost(c, "flops"), compiled_cost(c, "bytes accessed")) for n, (c, _, _) in programs.items()}
+    ode_f, ode_b = raw["ode"]
+    corrected = {
+        "ode": (num_steps * (ode_f + flash_flops), num_steps * (ode_b + flash_bytes)),
+        "vocoder": (raw["vocoder"][0] + mrf_flops, raw["vocoder"][1] + mrf_bytes),
+        "synthesize": (
+            raw["synthesize"][0] + (num_steps - 1) * ode_f + num_steps * flash_flops + mrf_flops,
+            raw["synthesize"][1] + (num_steps - 1) * ode_b + num_steps * flash_bytes + mrf_bytes,
+        ),
+    }
+
     for name, (compiled, dispatch, sync) in programs.items():
-        flops = compiled_cost(compiled, "flops")
-        bytes_ = compiled_cost(compiled, "bytes accessed")
+        flops, bytes_ = corrected[name]
         t = timed(dispatch, sync, args.trials)
         light = max(flops / peak_flops if peak_flops else 0.0, bytes_ / peak_bw if peak_bw else 0.0)
         row = {
@@ -181,6 +233,8 @@ def main():
             "ms": round(t * 1e3, 2),
             "gflops": round(flops / 1e9, 1),
             "gbytes": round(bytes_ / 1e9, 3),
+            "gflops_raw": round(raw[name][0] / 1e9, 1),
+            "gbytes_raw": round(raw[name][1] / 1e9, 3),
             "intensity_flop_per_byte": round(flops / bytes_, 1) if bytes_ else None,
             "achieved_tflops": round(flops / t / 1e12, 1),
             "achieved_gbps": round(bytes_ / t / 1e9, 1),

@@ -118,28 +118,69 @@ def main():
     points = [("pre", 0)] + [(kind, i) for i in range(len(cfg.upsample_rates)) for kind in ("up", "mrf")]
     points.append(None)  # full program
 
+    def sync1(out):
+        # Materialize exactly ONE element: slice on device, THEN np.asarray.
+        # (np.asarray(x).ravel()[:1] would pull the ENTIRE activation through
+        # the tunnel — 80+ MB for the wide prefixes — and bury the compute
+        # deltas in D2H transfer noise; block_until_ready lies on this
+        # backend, see CLAUDE.md.)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+
     def timed(fn, trials, iters):
-        out = fn(vvars["params"], mel)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]  # warm + sync (tunnel: block_until_ready lies)
+        sync1(fn(vvars["params"], mel))  # warm
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
             outs = [fn(vvars["params"], mel) for _ in range(iters)]
-            np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[:1]
+            sync1(outs[-1])
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts) / iters
+
+    # Pallas fused-MRF branches are invisible to XLA cost_analysis (custom
+    # calls count as zero flops/bytes) — add their analytic cost to every
+    # prefix that contains them, mirroring generator_apply_fused's dispatch
+    # gate exactly.  Time deltas are unaffected; this fixes the flop/byte
+    # attribution for the fused stages.
+    from speech_resynth_tpu.ops.fused_mrf import fused_branch_fits
+
+    on_pallas = jax.default_backend() in ("tpu", "axon")
+    itemsize = jnp.dtype(cd).itemsize
+
+    def fused_stage_cost(i: int):
+        """(flops, bytes) of stage i's Pallas-fused branches (0 if none fuse)."""
+        channels = cfg.upsample_initial_channel // (2 ** (i + 1))
+        t_stage = frames * int(np.prod(cfg.upsample_rates[: i + 1]))
+        fl = by = 0.0
+        for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            if on_pallas and channels <= 64 and rk % 2 == 1 and fused_branch_fits(channels, rk, len(rd), tuple(rd), itemsize):
+                fl += len(rd) * 2 * 2.0 * args.batch * t_stage * channels * channels * rk
+                by += 2.0 * args.batch * t_stage * channels * itemsize
+        return fl, by
+
+    def fused_cost_through(pt):
+        """Cumulative fused-branch cost contained in prefix ``pt``."""
+        if pt == ("pre", 0):
+            last = -1
+        elif pt is None:
+            last = len(cfg.upsample_rates) - 1
+        else:
+            last = pt[1] if pt[0] == "mrf" else pt[1] - 1
+        costs = [fused_stage_cost(i) for i in range(last + 1)]
+        return sum(c[0] for c in costs), sum(c[1] for c in costs)
 
     rows = []
     for pt in points:
         fn = make(pt)
         compiled = fn.lower(vvars["params"], mel).compile()
         t = timed(fn, args.trials, args.iters)
+        extra_fl, extra_by = fused_cost_through(pt)
         rows.append(
             {
                 "prefix": "full" if pt is None else f"{pt[0]}{pt[1]}",
                 "ms": t * 1e3,
-                "gflops": compiled_cost(compiled, "flops") / 1e9,
-                "gbytes": compiled_cost(compiled, "bytes accessed") / 1e9,
+                "gflops": (compiled_cost(compiled, "flops") + extra_fl) / 1e9,
+                "gbytes": (compiled_cost(compiled, "bytes accessed") + extra_by) / 1e9,
             }
         )
 
