@@ -10,7 +10,12 @@ counts (64/32/16) at huge time lengths (40k-160k); in NWC layout the MXU's
 the full activation through HBM.  This kernel:
 
   * runs in (C, T) layout — lanes carry TIME (always 128-aligned), sublanes
-    carry channels; each conv tap is a (C_out, C_in) x (C_in, T_blk) matmul;
+    carry channels; each conv is ONE (C_out, K*C_in) x (K*C_in, T_blk) matmul
+    over an in-VMEM im2col, so the MXU contraction dim is K*C (up to 704 at
+    K=11, C=64) instead of a starved C (12.5% fill at C=16);
+  * matmul operands in the caller's compute dtype (bf16 in production ->
+    full-rate MXU; f32 in the interpret parity tests), f32 accumulation,
+    residual chain carried in f32;
   * keeps the whole 6-conv chain in VMEM scratch — one HBM read of the input
     block (+halo) and one write of the output block;
   * fuses every leaky-relu and residual add.
@@ -60,13 +65,14 @@ def mrf_branch_reference(x, w1, b1, w2, b2, dilations: Tuple[int, ...], slope: f
 
 def _mrf_kernel(
     x_ref,  # (1, C, T_blk + 2*halo) input incl. halo
-    w1_ref,  # (n_pairs, K, C, C) — [tap] maps (C_in -> C_out) as (C_out, C_in)
+    w1_ref,  # (n_pairs, C, K*C) — [cout, tap*C + cin] (im2col-flattened taps)
     b1_ref,  # (n_pairs, C, 1)
     w2_ref,
     b2_ref,
     o_ref,  # (1, C, T_blk)
-    x_buf,  # VMEM scratch (C, T_blk + 2*halo)
-    h_buf,  # VMEM scratch (C, T_blk + 2*halo)
+    x_buf,  # VMEM scratch (C, T_blk + 2*halo) f32 (residual chain accumulates f32)
+    h_buf,  # VMEM scratch (C, T_blk + 2*halo) f32
+    im_buf,  # VMEM scratch (K*C, T_blk + 2*halo) operand dtype (im2col)
     *,
     kernel_size: int,
     dilations: Tuple[int, ...],
@@ -75,8 +81,20 @@ def _mrf_kernel(
     slope: float,
     seq_len: int,
 ):
+    # MXU shape note: a per-tap (C_out, C_in) x (C_in, T) matmul fills only
+    # C/128 of the MXU's contraction dim — 12.5% at C=16.  Packing the K taps
+    # into the contraction dim via an in-VMEM im2col makes each conv ONE
+    # (C, K*C) x (K*C, T) matmul (contraction up to 704 at K=11, C=64), and
+    # running the dot in the caller's compute dtype (bf16 in production, f32
+    # in the interpret-mode parity tests) with f32 accumulation gets the
+    # full MXU rate on the contraction.  Measured effect is modest — whole
+    # headline vocoder 66.8 -> 62.7 ms, fused stages 12.9/15.3/20.4 ->
+    # 12.5/13.5/18.2 ms (v5e back-to-back, bench_vocoder_stages.py) — because
+    # the OUTPUT rows stay C/128-starved and the im2col copies are VPU work;
+    # per-stage table and remaining-headroom analysis in PARITY.md.
     C = x_ref.shape[1]
-    width = t_blk + 2 * halo
+    K = kernel_size
+    op_dtype = im_buf.dtype
     x_buf[...] = x_ref[0].astype(jnp.float32)
 
     # global position of buffer column 0 (sequence starts at -halo for block 0)
@@ -91,7 +109,7 @@ def _mrf_kernel(
     for j, d in enumerate(dilations):
         pad1 = (kernel_size * d - d) // 2
         pad2 = (kernel_size - 1) // 2
-        in_w = width - 2 * offset
+        in_w = (t_blk + 2 * halo) - 2 * offset
         mid_w = in_w - 2 * pad1
         out_w = mid_w - 2 * pad2
 
@@ -100,24 +118,24 @@ def _mrf_kernel(
         # at EVERY conv input (they evolve nonzero through bias/residual here)
         xin = x_buf[:, pl.ds(offset, in_w)]
         act = jnp.where(xin > 0, xin, xin * slope)
-        act = jnp.where(valid_cols(offset, in_w), act, 0.0)
-        acc = jnp.zeros((C, mid_w), jnp.float32)
-        for tap in range(kernel_size):
-            seg = act[:, tap * d : tap * d + mid_w]  # static slice (Mosaic-lowerable)
-            w = w1_ref[j, tap].astype(jnp.float32)  # (C_out, C_in)
-            acc += jax.lax.dot_general(w, seg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        act = jnp.where(valid_cols(offset, in_w), act, 0.0).astype(op_dtype)
+        for tap in range(K):
+            im_buf[tap * C : (tap + 1) * C, pl.ds(0, mid_w)] = act[:, tap * d : tap * d + mid_w]
+        acc = jax.lax.dot_general(
+            w1_ref[j], im_buf[:, pl.ds(0, mid_w)], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         acc += b1_ref[j].astype(jnp.float32)
         h_buf[:, pl.ds(0, mid_w)] = acc
 
         # conv2 (undilated) on lrelu(h)
         hmid = h_buf[:, pl.ds(0, mid_w)]
         act2 = jnp.where(hmid > 0, hmid, hmid * slope)
-        act2 = jnp.where(valid_cols(offset + pad1, mid_w), act2, 0.0)
-        acc2 = jnp.zeros((C, out_w), jnp.float32)
-        for tap in range(kernel_size):
-            seg = act2[:, tap : tap + out_w]
-            w = w2_ref[j, tap].astype(jnp.float32)
-            acc2 += jax.lax.dot_general(w, seg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        act2 = jnp.where(valid_cols(offset + pad1, mid_w), act2, 0.0).astype(op_dtype)
+        for tap in range(K):
+            im_buf[tap * C : (tap + 1) * C, pl.ds(0, out_w)] = act2[:, tap : tap + out_w]
+        acc2 = jax.lax.dot_general(
+            w2_ref[j], im_buf[:, pl.ds(0, out_w)], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         acc2 += b2_ref[j].astype(jnp.float32)
 
         # residual add against the matching center slice of x
@@ -136,6 +154,7 @@ def _branch_vmem_bytes(C: int, K: int, n_pairs: int, width: int, itemsize: int) 
     """Rough VMEM footprint of one kernel invocation."""
     weights = 2 * n_pairs * K * C * C * itemsize + 2 * n_pairs * C * 4
     scratch = 2 * C * width * 4  # two f32 (C, width) buffers
+    scratch += K * C * width * itemsize  # im2col buffer (operand dtype)
     blocks = C * width * itemsize * 2 + C * width * itemsize  # in (dbl-buffered) + out
     return weights + scratch + blocks
 
@@ -185,9 +204,11 @@ def mrf_branch_pallas(
     xt = jnp.swapaxes(x, 1, 2)  # (B, C, T)
     xt = jnp.pad(xt, ((0, 0), (0, 0), (halo, halo + (t_pad - T))))
 
-    # weights: reference layout (pairs, K, C_in, C_out) -> (pairs, K, C_out, C_in)
-    w1k = jnp.swapaxes(w1, 2, 3)
-    w2k = jnp.swapaxes(w2, 2, 3)
+    # weights: reference layout (pairs, K, C_in, C_out) -> im2col-flattened
+    # (pairs, C_out, K*C_in), contraction index tap*C + c_in to match the
+    # kernel's in-VMEM im2col packing
+    w1k = jnp.transpose(w1, (0, 3, 1, 2)).reshape(w1.shape[0], C, K * C)
+    w2k = jnp.transpose(w2, (0, 3, 1, 2)).reshape(w2.shape[0], C, K * C)
     b1k = b1[..., None]  # (pairs, C, 1)
     b2k = b2[..., None]
 
@@ -208,9 +229,9 @@ def mrf_branch_pallas(
             ),
             # weights are grid-invariant: single-buffer them (no double
             # buffering) so wide-channel stages fit in VMEM
-            pl.BlockSpec((w1.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0), pipeline_mode=pl.Buffered(1)),
+            pl.BlockSpec((w1.shape[0], C, K * C), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
             pl.BlockSpec((b1.shape[0], C, 1), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
-            pl.BlockSpec((w2.shape[0], K, C, C), lambda b, i: (0, 0, 0, 0), pipeline_mode=pl.Buffered(1)),
+            pl.BlockSpec((w2.shape[0], C, K * C), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
             pl.BlockSpec((b2.shape[0], C, 1), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
         ],
         out_specs=pl.BlockSpec((1, C, t_blk), lambda b, i: (b, 0, i)),
@@ -218,6 +239,7 @@ def mrf_branch_pallas(
         scratch_shapes=[
             pltpu.VMEM((C, width), jnp.float32),
             pltpu.VMEM((C, width), jnp.float32),
+            pltpu.VMEM((K * C, width), x.dtype),
         ],
         interpret=interpret,
     )(xt, w1k, b1k, w2k, b2k)

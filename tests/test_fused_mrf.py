@@ -28,6 +28,24 @@ def test_interpret_matches_reference(C, K, T):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_interpret_bf16_operands():
+    """Production dtype: bf16 operands run the MXU full-rate path (f32
+    accumulation, f32 residual chain).  The lax reference in bf16 rounds to
+    bf16 after every conv, so the kernel is slightly MORE precise — compare
+    at bf16-scale tolerance."""
+    C, K = 16, 11
+    w1, b1, w2, b2 = make_branch(C, K)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 100, C)), jnp.float32) * 0.5
+    cast = lambda a: a.astype(jnp.bfloat16)
+
+    ref = FM.mrf_branch_reference(cast(x), cast(w1), cast(b1), cast(w2), cast(b2), (1, 3, 5))
+    got = FM.mrf_branch_pallas(cast(x), cast(w1), cast(b1), cast(w2), cast(b2), (1, 3, 5), t_blk=32, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.06
+    )
+
+
 def test_reference_matches_residual_block_module():
     from speech_resynth_tpu.core.precision import FLOAT32
     from speech_resynth_tpu.models.hifigan import ResidualBlock
