@@ -40,7 +40,7 @@ STAGES = [
 CHAIN = 8  # in-graph repeats per dispatch (amortize the ~25 ms sync floor)
 
 
-def bench_branch(C, T, K, impl, iters=4):
+def bench_branch(C, T, K, impl, iters=4, fold=1):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, T, C)), jnp.bfloat16)
     w1 = jnp.asarray(rng.standard_normal((len(DILATIONS), K, C, C)) * 0.02, jnp.bfloat16)
@@ -48,7 +48,10 @@ def bench_branch(C, T, K, impl, iters=4):
     b1 = jnp.zeros((len(DILATIONS), C), jnp.bfloat16)
     b2 = jnp.zeros((len(DILATIONS), C), jnp.bfloat16)
 
-    fn_one = mrf_branch_pallas if impl == "pallas" else mrf_branch_reference
+    if impl == "pallas":
+        fn_one = lambda xx, *a: mrf_branch_pallas(xx, *a, fold=fold)
+    else:
+        fn_one = mrf_branch_reference
 
     def chained(x):
         def body(xx, _):
@@ -72,15 +75,18 @@ def bench_branch(C, T, K, impl, iters=4):
 
 def main():
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0].device_kind}")
-    print(f"{'C':>4s} {'T':>7s} {'K':>3s} {'impl':8s} {'ms/branch':>10s} {'TFLOP/s':>9s}")
+    print(f"{'C':>4s} {'T':>7s} {'K':>3s} {'impl':12s} {'ms/branch':>10s} {'TFLOP/s':>9s}")
     for C, T in STAGES:
+        folds = sorted({1, 2, max(1, 128 // C)}) if C <= 64 else (1,)
         for K in KERNELS:
-            for impl in ("xla", "pallas"):
+            variants = [("xla", 1)] + [("pallas", f) for f in folds]
+            for impl, fold in variants:
+                label = impl if fold == 1 else f"{impl}-f{fold}"
                 try:
-                    t, fl = bench_branch(C, T, K, impl)
-                    print(f"{C:4d} {T:7d} {K:3d} {impl:8s} {t * 1e3:10.3f} {fl / 1e12:9.2f}", flush=True)
+                    t, fl = bench_branch(C, T, K, impl, fold=fold)
+                    print(f"{C:4d} {T:7d} {K:3d} {label:12s} {t * 1e3:10.3f} {fl / 1e12:9.2f}", flush=True)
                 except Exception as e:
-                    print(f"{C:4d} {T:7d} {K:3d} {impl:8s}   failed: {type(e).__name__}: {str(e)[:90]}", flush=True)
+                    print(f"{C:4d} {T:7d} {K:3d} {label:12s}   failed: {type(e).__name__}: {str(e)[:90]}", flush=True)
 
 
 if __name__ == "__main__":

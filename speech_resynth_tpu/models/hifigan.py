@@ -305,6 +305,7 @@ def generator_apply_fused(
     force_fused: bool = False,
     interpret: bool = False,
     truncate: Optional[Tuple[str, int]] = None,
+    mrf_fold: Optional[int] = None,
 ) -> jax.Array:
     """Inference-path generator forward with Pallas-fused MRF stages.
 
@@ -324,8 +325,19 @@ def generator_apply_fused(
     activations right after conv_pre / upsampler i / stage i's MRF sum —
     benchmarks/bench_vocoder_stages.py rooflines the prefix deltas to
     attribute per-stage cost inside the real fused program.
+
+    ``mrf_fold`` overrides the per-stage phase fold (ops/fused_mrf.py
+    MRF_FOLD_TABLE otherwise): narrow stages fold `fold` time-phases into
+    the MXU's output rows so the matmuls stop being C/128 row-starved.
     """
-    from ..ops.fused_mrf import fused_branch_fits, mrf_branch_pallas, mrf_branch_reference
+    from ..ops.fused_mrf import (
+        fold_time,
+        fused_branch_fits,
+        mrf_branch_pallas,
+        mrf_branch_reference,
+        mrf_fold_for_channels,
+        unfold_time,
+    )
 
     cfg = config
     cd = compute_dtype
@@ -345,26 +357,54 @@ def generator_apply_fused(
         if truncate == ("up", i):
             return x
 
+        def _eligible(rk, rd, f):
+            # channels <= 64 gate: in-context vocoder A/B, PARITY.md;
+            # odd rk: the fused kernel assumes symmetric SAME padding
+            return (
+                use_pallas_backend
+                and channels <= 64
+                and rk % 2 == 1
+                and fused_branch_fits(channels, rk, len(rd), tuple(rd), x.dtype.itemsize, fold=f)
+            )
+
+        # phase fold for the narrow stages (measured table, ops/fused_mrf.py):
+        # fold once per stage and share the folded layout across the three
+        # branches — the fold/unfold transposes happen 2x per stage, not 6x
+        seq_len = x.shape[1]
+        fold = mrf_fold if mrf_fold is not None else mrf_fold_for_channels(channels)
+        branch_cfgs = list(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes))
+        use_fold = fold > 1 and all(_eligible(rk, rd, fold) for rk, rd in branch_cfgs)
+        x_in = fold_time(x, fold) if use_fold else x
+
         res = None
-        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+        for j, (rk, rd) in enumerate(branch_cfgs):
             bp = params[f"resblocks_{i * num_kernels + j}"]
             n_pairs = len(rd)
             w1 = jnp.stack([bp[f"convs1_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
             b1 = jnp.stack([bp[f"convs1_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
             w2 = jnp.stack([bp[f"convs2_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
             b2 = jnp.stack([bp[f"convs2_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
-            profitable = channels <= 64  # in-context vocoder A/B, PARITY.md
-            if (
-                use_pallas_backend
-                and profitable
-                and rk % 2 == 1  # fused kernel assumes symmetric SAME padding
-                and fused_branch_fits(channels, rk, n_pairs, tuple(rd), x.dtype.itemsize)
-            ):
+            if use_fold:
+                out = mrf_branch_pallas(
+                    x_in,
+                    w1,
+                    b1,
+                    w2,
+                    b2,
+                    tuple(rd),
+                    cfg.leaky_relu_slope,
+                    interpret=interpret,
+                    fold=fold,
+                    prefolded_len=seq_len,
+                )
+            elif _eligible(rk, rd, 1):
                 out = mrf_branch_pallas(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope, interpret=interpret)
             else:
                 out = mrf_branch_reference(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope)
             res = out if res is None else res + out
         x = res / num_kernels
+        if use_fold:
+            x = unfold_time(x, fold, seq_len)
         if truncate == ("mrf", i):
             return x
 

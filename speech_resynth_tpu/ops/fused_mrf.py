@@ -10,15 +10,24 @@ counts (64/32/16) at huge time lengths (40k-160k); in NWC layout the MXU's
 the full activation through HBM.  This kernel:
 
   * runs in (C, T) layout — lanes carry TIME (always 128-aligned), sublanes
-    carry channels; each conv is ONE (C_out, K*C_in) x (K*C_in, T_blk) matmul
-    over an in-VMEM im2col, so the MXU contraction dim is K*C (up to 704 at
-    K=11, C=64) instead of a starved C (12.5% fill at C=16);
+    carry channels; each conv is ONE matmul over an in-VMEM im2col, so the
+    MXU contraction dim is n_s*C (up to ~900) instead of a starved C;
+  * optionally PHASE-FOLDS time into the matmul output rows ("block-Toeplitz"
+    weights): with fold=P the input is relaid out as
+    x_f[p*C + c, t] = x[c, t*P + p], and one matmul produces P output
+    time-phases at once — (P*C, n_s*C) x (n_s*C, T/P) — so the MXU's
+    128 output rows are filled (P*C = 128 at C=16, P=8) instead of C/128
+    starved.  The padded-FLOP cost is n_s/K per conv (zeros where a weight
+    block has no tap), bounded ~2.5-4x, against an 8x row-fill gain at C=16;
   * matmul operands in the caller's compute dtype (bf16 in production ->
     full-rate MXU; f32 in the interpret parity tests), f32 accumulation,
     residual chain carried in f32;
   * keeps the whole 6-conv chain in VMEM scratch — one HBM read of the input
     block (+halo) and one write of the output block;
   * fuses every leaky-relu and residual add.
+
+fold=1 reduces exactly to the unfolded im2col kernel (the only offsets s
+with a weight tap are s = tap*d - pad, i.e. the K taps).
 
 A lax reference implementation (`mrf_branch_reference`, NWC) defines the
 semantics (matches models/hifigan.py:ResidualBlock, i.e. the reference's
@@ -28,18 +37,30 @@ HifiGanResidualBlock torch graph).
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LRELU_SLOPE = 0.1
 
+# Per-channel-count phase fold for the vocoder MRF stages, chosen so the
+# folded matmul fills the MXU's 128 output rows; measured in-context on v5e
+# (PARITY.md fused-MRF roofline section).  C >= 128 never reaches the fused
+# kernel (XLA wins by measurement); C = 64 folded 2x gains ~nothing in
+# theory (2x rows vs ~2x padded FLOPs) — the table is what measurement kept.
+MRF_FOLD_TABLE = {16: 8, 32: 4, 64: 2}
+
+
+def mrf_fold_for_channels(channels: int) -> int:
+    return MRF_FOLD_TABLE.get(channels, 1)
+
 
 def branch_halo(kernel_size: int, dilations: Sequence[int]) -> int:
-    """Per-side receptive-field growth of the 6-conv chain."""
+    """Per-side receptive-field growth of the 6-conv chain (real samples)."""
     h = 0
     for d in dilations:
         h += (kernel_size * d - d) // 2  # dilated conv pad
@@ -63,66 +84,151 @@ def mrf_branch_reference(x, w1, b1, w2, b2, dilations: Tuple[int, ...], slope: f
     return x
 
 
+# ---------------------------------------------------------------------------
+# phase folding: (B, T, C) <-> (B, P*C, ceil(T/P)) with x_f[p*C+c, t] = x[t*P+p, c]
+# ---------------------------------------------------------------------------
+
+
+def fold_time(x: jax.Array, fold: int) -> jax.Array:
+    """(B, T, C) NWC -> folded (B, fold*C, ceil(T/fold)); zero-padded tail."""
+    B, T, C = x.shape
+    t_f = -(-T // fold)
+    x = jnp.pad(x, ((0, 0), (0, t_f * fold - T), (0, 0)))
+    return x.reshape(B, t_f, fold, C).transpose(0, 2, 3, 1).reshape(B, fold * C, t_f)
+
+
+def unfold_time(y: jax.Array, fold: int, seq_len: int) -> jax.Array:
+    """Inverse of fold_time: (B, fold*C, T_f) -> (B, seq_len, C) NWC."""
+    B, PC, t_f = y.shape
+    C = PC // fold
+    y = y.reshape(B, fold, C, t_f).transpose(0, 3, 1, 2).reshape(B, t_f * fold, C)
+    return y[:, :seq_len]
+
+
+def _used_offsets(K: int, d: int, fold: int) -> Tuple[int, ...]:
+    """Sorted input offsets s = p + tap*d - pad that carry at least one weight
+    tap for some output phase p.  At fold=1 this is exactly the K tap
+    positions (dilation gaps skipped); at fold >= d the range is dense."""
+    pad = (K * d - d) // 2
+    return tuple(sorted({p + t * d - pad for p in range(fold) for t in range(K)}))
+
+
+def _conv_metas(K: int, dilations: Sequence[int], fold: int):
+    """Per pair: (used_s conv1, folded pad conv1, used_s conv2, folded pad conv2).
+
+    The folded per-side consumption of a conv with real pad `pad` is
+    ceil(pad/fold) columns: offsets s span [-pad, fold-1+pad], and with
+    s = q*fold + r (r in [0, fold)) the column reach q spans exactly
+    [-ceil(pad/fold), floor((fold-1+pad)/fold)] — both bounded by fpad.
+    """
+    pad2 = (K - 1) // 2
+    used2 = _used_offsets(K, 1, fold)
+    fpad2 = -(-pad2 // fold)
+    metas = []
+    for d in dilations:
+        pad1 = (K * d - d) // 2
+        metas.append((_used_offsets(K, d, fold), -(-pad1 // fold), used2, fpad2))
+    return tuple(metas)
+
+
+def _fold_weight(w: jax.Array, fold: int, d: int, used_s: Tuple[int, ...]) -> jax.Array:
+    """(K, C_in, C_out) conv weight -> block-Toeplitz (fold*C_out, n_s*C_in).
+
+    Row block p, contraction block idx(s) holds W[tap]^T when
+    s = p + tap*d - pad for some tap, else zeros.  Output row p*C_out + c_out
+    of the matmul against the s-indexed im2col is then time-phase p of the
+    SAME-conv output.  fold=1 reduces to the plain im2col layout
+    [c_out, tap*C_in + c_in].
+    """
+    K, ci, co = w.shape
+    pad = (K * d - d) // 2
+    wt = jnp.transpose(w, (0, 2, 1))  # (K, C_out, C_in)
+    if fold == 1:
+        # used_s order == tap order at fold=1: plain im2col [co, tap*ci + ci]
+        return jnp.transpose(wt, (1, 0, 2)).reshape(co, K * ci)
+    index = {s: i for i, s in enumerate(used_s)}
+    p_arr = np.repeat(np.arange(fold), K)
+    tap_arr = np.tile(np.arange(K), fold)
+    idx_arr = np.array([index[p + t * d - pad] for p, t in zip(p_arr, tap_arr)])
+    z = jnp.zeros((fold, len(used_s), co, ci), w.dtype)
+    z = z.at[p_arr, idx_arr].set(wt[tap_arr])  # each (p, s) hits at most one tap
+    return z.transpose(0, 2, 1, 3).reshape(fold * co, len(used_s) * ci)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
 def _mrf_kernel(
-    x_ref,  # (1, C, T_blk + 2*halo) input incl. halo
-    w1_ref,  # (n_pairs, C, K*C) — [cout, tap*C + cin] (im2col-flattened taps)
-    b1_ref,  # (n_pairs, C, 1)
-    w2_ref,
-    b2_ref,
-    o_ref,  # (1, C, T_blk)
-    x_buf,  # VMEM scratch (C, T_blk + 2*halo) f32 (residual chain accumulates f32)
-    h_buf,  # VMEM scratch (C, T_blk + 2*halo) f32
-    im_buf,  # VMEM scratch (K*C, T_blk + 2*halo) operand dtype (im2col)
-    *,
-    kernel_size: int,
-    dilations: Tuple[int, ...],
-    halo: int,
+    x_ref,  # (1, P*C, W) folded input incl. halo
+    *rest,  # n_pairs conv1 weights, n_pairs conv2 weights, b1, b2, out, scratch
+    n_pairs: int,
+    metas,
+    fold: int,
+    chans: int,
+    halo_f: int,
     t_blk: int,
+    width: int,
     slope: float,
     seq_len: int,
 ):
     # MXU shape note: a per-tap (C_out, C_in) x (C_in, T) matmul fills only
-    # C/128 of the MXU's contraction dim — 12.5% at C=16.  Packing the K taps
-    # into the contraction dim via an in-VMEM im2col makes each conv ONE
-    # (C, K*C) x (K*C, T) matmul (contraction up to 704 at K=11, C=64), and
-    # running the dot in the caller's compute dtype (bf16 in production, f32
-    # in the interpret-mode parity tests) with f32 accumulation gets the
-    # full MXU rate on the contraction.  Measured effect is modest — whole
-    # headline vocoder 66.8 -> 62.7 ms, fused stages 12.9/15.3/20.4 ->
-    # 12.5/13.5/18.2 ms (v5e back-to-back, bench_vocoder_stages.py) — because
-    # the OUTPUT rows stay C/128-starved and the im2col copies are VPU work;
-    # per-stage table and remaining-headroom analysis in PARITY.md.
-    C = x_ref.shape[1]
-    K = kernel_size
+    # C/128 of the MXU's contraction AND output-row dims — 12.5% at C=16.
+    # The im2col packs n_s offset-shifted copies of the input into the
+    # contraction (up to ~900 rows), and phase folding packs `fold` output
+    # time-phases into the output rows (P*C = 128 at C=16): each conv is ONE
+    # (P*C, n_s*C) x (n_s*C, T_blk) matmul in the caller's compute dtype
+    # (bf16 in production) with f32 accumulation.  Per-stage measurements
+    # and the padded-FLOP accounting live in PARITY.md.
+    w1_refs = rest[:n_pairs]
+    w2_refs = rest[n_pairs : 2 * n_pairs]
+    b1_ref = rest[2 * n_pairs]
+    b2_ref = rest[2 * n_pairs + 1]
+    o_ref = rest[2 * n_pairs + 2]
+    x_buf, h_buf, im_buf = rest[2 * n_pairs + 3 :]
+
+    P, C = fold, chans
+    PC = P * C
     op_dtype = im_buf.dtype
     x_buf[...] = x_ref[0].astype(jnp.float32)
 
-    # global position of buffer column 0 (sequence starts at -halo for block 0)
-    base = pl.program_id(1) * t_blk - halo
+    # folded column of buffer column 0 (block i's output starts at folded
+    # column i*t_blk; the buffer holds halo_f extra columns on the left)
+    base = pl.program_id(1) * t_blk - halo_f
 
-    def valid_cols(start_col: int, w: int):
-        """True where a buffer column maps inside the real [0, seq_len)."""
-        g = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-        return (g >= 0) & (g < seq_len)
+    def masked(vals, start_col: int, w: int):
+        """SAME-conv semantics: zero every conv INPUT outside the real
+        sequence [0, seq_len).  Real position of (row, col) in folded space
+        is (base + start_col + col) * P + row // C."""
+        cols = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        if P == 1:
+            g = cols
+        else:
+            g = cols * P + jax.lax.broadcasted_iota(jnp.int32, (PC, w), 0) // C
+        return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
 
-    offset = 0  # consumed halo so far
-    for j, d in enumerate(dilations):
-        pad1 = (kernel_size * d - d) // 2
-        pad2 = (kernel_size - 1) // 2
-        in_w = (t_blk + 2 * halo) - 2 * offset
-        mid_w = in_w - 2 * pad1
-        out_w = mid_w - 2 * pad2
+    offset = 0  # consumed folded halo so far
+    for j in range(n_pairs):
+        used1, fpad1, used2, fpad2 = metas[j]
+        in_w = width - 2 * offset
+        mid_w = in_w - 2 * fpad1
+        out_w = mid_w - 2 * fpad2
 
-        # conv1 (dilated): h_mid[:, t] = sum_tap W1[tap] @ lrelu(x)[:, t + tap*d]
-        # SAME-conv semantics: positions outside the true sequence are zero
-        # at EVERY conv input (they evolve nonzero through bias/residual here)
+        # conv1 (dilated): im2col block for offset s reads the input's
+        # phase-row r = s % P shifted by q = s // P columns
         xin = x_buf[:, pl.ds(offset, in_w)]
         act = jnp.where(xin > 0, xin, xin * slope)
-        act = jnp.where(valid_cols(offset, in_w), act, 0.0).astype(op_dtype)
-        for tap in range(K):
-            im_buf[tap * C : (tap + 1) * C, pl.ds(0, mid_w)] = act[:, tap * d : tap * d + mid_w]
+        act = masked(act, offset, in_w).astype(op_dtype)
+        for idx, s in enumerate(used1):
+            q, r = divmod(s, P)
+            c0 = fpad1 + q
+            im_buf[idx * C : (idx + 1) * C, pl.ds(0, mid_w)] = act[r * C : (r + 1) * C, c0 : c0 + mid_w]
         acc = jax.lax.dot_general(
-            w1_ref[j], im_buf[:, pl.ds(0, mid_w)], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            w1_refs[j][...],
+            im_buf[pl.ds(0, len(used1) * C), pl.ds(0, mid_w)],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         acc += b1_ref[j].astype(jnp.float32)
         h_buf[:, pl.ds(0, mid_w)] = acc
@@ -130,51 +236,68 @@ def _mrf_kernel(
         # conv2 (undilated) on lrelu(h)
         hmid = h_buf[:, pl.ds(0, mid_w)]
         act2 = jnp.where(hmid > 0, hmid, hmid * slope)
-        act2 = jnp.where(valid_cols(offset + pad1, mid_w), act2, 0.0).astype(op_dtype)
-        for tap in range(K):
-            im_buf[tap * C : (tap + 1) * C, pl.ds(0, out_w)] = act2[:, tap : tap + out_w]
+        act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
+        for idx, s in enumerate(used2):
+            q, r = divmod(s, P)
+            c0 = fpad2 + q
+            im_buf[idx * C : (idx + 1) * C, pl.ds(0, out_w)] = act2[r * C : (r + 1) * C, c0 : c0 + out_w]
         acc2 = jax.lax.dot_general(
-            w2_ref[j], im_buf[:, pl.ds(0, out_w)], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            w2_refs[j][...],
+            im_buf[pl.ds(0, len(used2) * C), pl.ds(0, out_w)],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         acc2 += b2_ref[j].astype(jnp.float32)
 
         # residual add against the matching center slice of x
-        new_offset = offset + pad1 + pad2
+        new_offset = offset + fpad1 + fpad2
         res = x_buf[:, pl.ds(new_offset, out_w)]
         x_buf[:, pl.ds(new_offset, out_w)] = res + acc2
         offset = new_offset
 
-    o_ref[0] = x_buf[:, pl.ds(halo, t_blk)].astype(o_ref.dtype)
+    o_ref[0] = x_buf[:, pl.ds(halo_f, t_blk)].astype(o_ref.dtype)
 
 
 VMEM_BUDGET = 12 * 2**20  # conservative slice of the ~16 MB per-core VMEM
 
 
-def _branch_vmem_bytes(C: int, K: int, n_pairs: int, width: int, itemsize: int) -> int:
+def _branch_vmem_bytes(C: int, n_pairs: int, width: int, t_blk: int, itemsize: int, fold: int, ns_list) -> int:
     """Rough VMEM footprint of one kernel invocation."""
-    weights = 2 * n_pairs * K * C * C * itemsize + 2 * n_pairs * C * 4
-    scratch = 2 * C * width * 4  # two f32 (C, width) buffers
-    scratch += K * C * width * itemsize  # im2col buffer (operand dtype)
-    blocks = C * width * itemsize * 2 + C * width * itemsize  # in (dbl-buffered) + out
+    PC = C * fold
+    weights = sum(ns * C * PC for ns in ns_list) * itemsize + 2 * n_pairs * PC * 4
+    scratch = 2 * PC * width * 4  # two f32 (PC, width) buffers
+    scratch += max(ns_list) * C * width * itemsize  # im2col buffer (operand dtype)
+    blocks = 2 * PC * width * itemsize + 2 * PC * t_blk * itemsize  # in (dbl-buffered) + out
     return weights + scratch + blocks
 
 
-def pick_t_blk(C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int) -> int:
-    """Largest 128-multiple time block (<=1024) whose invocation fits VMEM;
-    0 if even the minimum block does not fit (caller falls back to XLA)."""
-    halo = -(-branch_halo(K, dilations) // 64) * 64
+def _geometry(K: int, dilations: Sequence[int], fold: int):
+    metas = _conv_metas(K, dilations, fold)
+    halo_f = sum(m[1] + m[3] for m in metas)
+    ns_list = [len(m[0]) for m in metas] + [len(m[2]) for m in metas]
+    return metas, halo_f, ns_list
+
+
+def pick_t_blk(C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int, fold: int = 1) -> int:
+    """Largest 128-multiple time block (<=1024 folded columns) whose
+    invocation fits VMEM; 0 if even the minimum block does not fit (caller
+    falls back to XLA)."""
+    _, halo_f, ns_list = _geometry(K, dilations, fold)
     for t_blk in (1024, 768, 512, 384, 256, 128):
-        if _branch_vmem_bytes(C, K, n_pairs, t_blk + 2 * halo, itemsize) <= VMEM_BUDGET:
+        width = -(-(t_blk + 2 * halo_f) // 128) * 128
+        if _branch_vmem_bytes(C, n_pairs, width, t_blk, itemsize, fold, ns_list) <= VMEM_BUDGET:
             return t_blk
     return 0
 
 
-def fused_branch_fits(C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int = 2) -> bool:
-    return pick_t_blk(C, K, n_pairs, dilations, itemsize) > 0
+def fused_branch_fits(
+    C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int = 2, fold: int = 1
+) -> bool:
+    return pick_t_blk(C, K, n_pairs, dilations, itemsize, fold=fold) > 0
 
 
 def mrf_branch_pallas(
-    x: jax.Array,  # (B, T, C)
+    x: jax.Array,  # (B, T, C) NWC, or folded (B, fold*C, T_f) when prefolded_len is given
     w1: jax.Array,  # (n_pairs, K, C, C) in WIO-per-pair converted to (pairs, K, C_out, C_in)
     b1: jax.Array,
     w2: jax.Array,
@@ -183,65 +306,100 @@ def mrf_branch_pallas(
     slope: float = LRELU_SLOPE,
     t_blk: int | None = None,
     interpret: bool = False,
+    fold: int = 1,
+    prefolded_len: Optional[int] = None,
 ) -> jax.Array:
-    """Fused branch in (C, T)-layout Pallas; input/output stay NWC."""
-    B, T, C = x.shape
-    K = w1.shape[1]
+    """Fused branch in (C, T)-layout Pallas; input/output stay NWC.
+
+    ``fold=P > 1`` phase-folds time into the matmul output rows (docstring at
+    the top of the module).  ``prefolded_len``: the caller already holds x in
+    folded layout (B, fold*C, ceil(T/fold)) — pass the true T here; the
+    output stays folded (the generator folds once per MRF stage and shares
+    the layout across its three branches, models/hifigan.py).
+    """
+    P = int(fold)
+    n_pairs, K, C, _ = w1.shape
     if K % 2 == 0:
         # the halo/tap bookkeeping assumes lax SAME's symmetric padding,
         # which only holds for odd effective kernels (even K pads (p, p+1)
         # asymmetrically and the tap slices go off by one)
         raise ValueError(f"fused MRF branch requires odd kernel sizes, got K={K}")
+    PC = P * C
+    if prefolded_len is not None:
+        B, pc_in, _ = x.shape
+        if pc_in != PC:
+            raise ValueError(f"prefolded input has {pc_in} rows, expected fold*C = {PC}")
+        T = int(prefolded_len)
+        x_f = x
+    else:
+        B, T, _ = x.shape
+        x_f = fold_time(x, P) if P > 1 else jnp.swapaxes(x, 1, 2)
+    t_f = x_f.shape[2]
+
+    metas, halo_f, _ = _geometry(K, tuple(dilations), P)
     if t_blk is None:
-        t_blk = pick_t_blk(C, K, w1.shape[0], dilations, x.dtype.itemsize)
+        t_blk = pick_t_blk(C, K, n_pairs, dilations, x.dtype.itemsize, fold=P)
         if t_blk == 0:
-            raise ValueError(f"fused MRF branch (C={C}, K={K}) does not fit VMEM")
-    # round the halo up so the window width (t_blk + 2*halo) stays a
-    # 128-multiple — Mosaic requires lane-dim blocks divisible by 128
-    halo = -(-branch_halo(K, dilations) // 64) * 64
+            raise ValueError(f"fused MRF branch (C={C}, K={K}, fold={P}) does not fit VMEM")
+    # window width must be a 128-multiple (Mosaic lane-dim block constraint);
+    # the left pad is exactly halo_f, the rounding slack rides on the right
+    # as always-masked columns
+    width = -(-(t_blk + 2 * halo_f) // 128) * 128
+    n_blocks = -(-t_f // t_blk)
+    l_pad = n_blocks * t_blk + (width - t_blk)
+    x_pad = jnp.pad(x_f, ((0, 0), (0, 0), (halo_f, l_pad - halo_f - t_f)))
 
-    t_pad = -(-T // t_blk) * t_blk
-    xt = jnp.swapaxes(x, 1, 2)  # (B, C, T)
-    xt = jnp.pad(xt, ((0, 0), (0, 0), (halo, halo + (t_pad - T))))
+    # block-Toeplitz weights: (pairs, K, C_in, C_out) -> per-conv
+    # (P*C_out, n_s*C_in); biases tile across phases -> (pairs, P*C, 1)
+    w1f = [_fold_weight(w1[j], P, d, metas[j][0]) for j, d in enumerate(dilations)]
+    w2f = [_fold_weight(w2[j], P, 1, metas[j][2]) for j in range(n_pairs)]
+    b1f = jnp.tile(b1, (1, P))[..., None]
+    b2f = jnp.tile(b2, (1, P))[..., None]
+    max_ns_c = max(max(len(m[0]), len(m[2])) for m in metas) * C
 
-    # weights: reference layout (pairs, K, C_in, C_out) -> im2col-flattened
-    # (pairs, C_out, K*C_in), contraction index tap*C + c_in to match the
-    # kernel's in-VMEM im2col packing
-    w1k = jnp.transpose(w1, (0, 3, 1, 2)).reshape(w1.shape[0], C, K * C)
-    w2k = jnp.transpose(w2, (0, 3, 1, 2)).reshape(w2.shape[0], C, K * C)
-    b1k = b1[..., None]  # (pairs, C, 1)
-    b2k = b2[..., None]
-
-    grid = (B, t_pad // t_blk)
-    width = t_blk + 2 * halo
+    grid = (B, n_blocks)
     kernel = functools.partial(
-        _mrf_kernel, kernel_size=K, dilations=tuple(dilations), halo=halo, t_blk=t_blk, slope=slope, seq_len=T
+        _mrf_kernel,
+        n_pairs=n_pairs,
+        metas=metas,
+        fold=P,
+        chans=C,
+        halo_f=halo_f,
+        t_blk=t_blk,
+        width=width,
+        slope=slope,
+        seq_len=T,
     )
+    in_specs = [
+        # overlapping halo windows: time dim is Element-indexed — window i
+        # covers elements [i*t_blk, i*t_blk + width) of the halo-padded x
+        pl.BlockSpec(
+            (pl.Element(1), pl.Element(PC), pl.Element(width)),
+            lambda b, i: (b, 0, i * t_blk),
+        )
+    ]
+    for wf in w1f + w2f:
+        # weights are grid-invariant: single-buffer them (no double
+        # buffering) so wide-channel stages fit in VMEM
+        in_specs.append(pl.BlockSpec(wf.shape, lambda b, i: (0, 0), pipeline_mode=pl.Buffered(1)))
+    in_specs.append(pl.BlockSpec(b1f.shape, lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)))
+    in_specs.append(pl.BlockSpec(b2f.shape, lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)))
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # overlapping halo windows: time dim is Element-indexed — window i
-            # covers elements [i*t_blk, i*t_blk + width) of the halo-padded x
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(C), pl.Element(width)),
-                lambda b, i: (b, 0, i * t_blk),
-            ),
-            # weights are grid-invariant: single-buffer them (no double
-            # buffering) so wide-channel stages fit in VMEM
-            pl.BlockSpec((w1.shape[0], C, K * C), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
-            pl.BlockSpec((b1.shape[0], C, 1), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
-            pl.BlockSpec((w2.shape[0], C, K * C), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
-            pl.BlockSpec((b2.shape[0], C, 1), lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)),
-        ],
-        out_specs=pl.BlockSpec((1, C, t_blk), lambda b, i: (b, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((B, C, t_pad), x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, PC, t_blk), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, PC, n_blocks * t_blk), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, width), jnp.float32),
-            pltpu.VMEM((C, width), jnp.float32),
-            pltpu.VMEM((K * C, width), x.dtype),
+            pltpu.VMEM((PC, width), jnp.float32),
+            pltpu.VMEM((PC, width), jnp.float32),
+            pltpu.VMEM((max_ns_c, width), x.dtype),
         ],
         interpret=interpret,
-    )(xt, w1k, b1k, w2k, b2k)
+    )(x_pad, *w1f, *w2f, b1f, b2f)
 
-    return jnp.swapaxes(out[:, :, :T], 1, 2)
+    y = out[:, :, :t_f]
+    if prefolded_len is not None:
+        return y
+    return unfold_time(y, P, T) if P > 1 else jnp.swapaxes(y, 1, 2)[:, :T]

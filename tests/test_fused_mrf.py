@@ -90,6 +90,33 @@ def test_generator_apply_fused_matches_module():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_generator_apply_fused_folded_matches_module():
+    """Stage-shared phase folding (fold once, run 3 branches prefolded,
+    unfold once) must match the module forward exactly like the unfolded
+    fused path does."""
+    from speech_resynth_tpu.core.precision import FLOAT32
+    from speech_resynth_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator, generator_apply_fused
+
+    cfg = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=32,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    gen = HifiGanGenerator(cfg, policy=FLOAT32)
+    mel = jnp.asarray(np.random.default_rng(5).standard_normal((2, 12, 8)), jnp.float32)
+    variables = gen.init(jax.random.key(0), mel)
+
+    ref = gen.apply(variables, mel)
+    got = generator_apply_fused(
+        variables["params"], cfg, mel, compute_dtype=jnp.float32, force_fused=True, interpret=True, mrf_fold=4
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_generator_apply_fused_truncate_prefixes():
     """truncate points return the right intermediate shapes and the chain of
     prefixes is consistent with the full program (bench_vocoder_stages.py)."""
@@ -130,3 +157,94 @@ def test_generator_apply_fused_truncate_prefixes():
 def test_halo_math():
     assert FM.branch_halo(3, (1, 3, 5)) == (1 + 1) + (3 + 1) + (5 + 1)
     assert FM.branch_halo(11, (1, 3, 5)) == (5 + 5) + (15 + 5) + (25 + 5)
+
+
+# ---------------------------------------------------------------------------
+# phase-folded (block-Toeplitz) path
+# ---------------------------------------------------------------------------
+
+
+def test_fold_unfold_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 101, 16)), jnp.float32)
+    for P in (1, 2, 4, 8):
+        xf = FM.fold_time(x, P)
+        assert xf.shape == (2, P * 16, -(-101 // P))
+        np.testing.assert_array_equal(np.asarray(FM.unfold_time(xf, P, 101)), np.asarray(x))
+
+
+def test_used_offsets_and_folded_pads():
+    # fold=1: exactly the K tap positions (dilation gaps skipped)
+    assert FM._used_offsets(3, 5, 1) == (-5, 0, 5)
+    # fold >= d: the range [-pad, fold-1+pad] is dense
+    assert FM._used_offsets(3, 1, 8) == tuple(range(-1, 9))
+    # fold < d: offsets no (p, tap) reaches are skipped (here s = p + 5t - 5
+    # with p in [0,4) never hits -1 or 4)
+    assert FM._used_offsets(3, 5, 4) == (-5, -4, -3, -2, 0, 1, 2, 3, 5, 6, 7, 8)
+    metas = FM._conv_metas(11, (1, 3, 5), 8)
+    # folded per-side consumption = ceil(pad / fold)
+    assert [m[1] for m in metas] == [1, 2, 4]  # pads 5, 15, 25 at fold 8
+    assert metas[0][3] == 1  # conv2 pad 5 -> 1
+
+
+@pytest.mark.parametrize("P", [2, 4, 8])
+@pytest.mark.parametrize("C,K,T", [(16, 3, 100), (16, 11, 137)])
+def test_folded_interpret_matches_reference(P, C, K, T):
+    w1, b1, w2, b2 = make_branch(C, K)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, T, C)), jnp.float32) * 0.5
+
+    ref = FM.mrf_branch_reference(x, w1, b1, w2, b2, (1, 3, 5))
+    got = FM.mrf_branch_pallas(x, w1, b1, w2, b2, (1, 3, 5), t_blk=128, interpret=True, fold=P)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_folded_prefolded_input_matches_reference():
+    """The generator folds once per stage and shares the layout across
+    branches; the prefolded path must equal fold-inside-the-call."""
+    C, K, T, P = 16, 7, 90, 8
+    w1, b1, w2, b2 = make_branch(C, K)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, T, C)), jnp.float32) * 0.5
+
+    ref = FM.mrf_branch_reference(x, w1, b1, w2, b2, (1, 3, 5))
+    xf = FM.fold_time(x, P)
+    got_f = FM.mrf_branch_pallas(
+        xf, w1, b1, w2, b2, (1, 3, 5), t_blk=128, interpret=True, fold=P, prefolded_len=T
+    )
+    assert got_f.shape == xf.shape
+    got = FM.unfold_time(got_f, P, T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_folded_bf16_operands():
+    C, K, P = 16, 11, 8
+    w1, b1, w2, b2 = make_branch(C, K)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 100, C)), jnp.float32) * 0.5
+    cast = lambda a: a.astype(jnp.bfloat16)
+
+    ref = FM.mrf_branch_reference(cast(x), cast(w1), cast(b1), cast(w2), cast(b2), (1, 3, 5))
+    got = FM.mrf_branch_pallas(
+        cast(x), cast(w1), cast(b1), cast(w2), cast(b2), (1, 3, 5), t_blk=128, interpret=True, fold=P
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.06
+    )
+
+
+def test_fold_weight_block_toeplitz_structure():
+    """Every (phase, offset) block is either zeros or exactly one tap's
+    (C_out, C_in) matrix transposed."""
+    K, C, P, d = 3, 4, 2, 3
+    w = jnp.asarray(np.random.default_rng(7).standard_normal((K, C, C)), jnp.float32)
+    used = FM._used_offsets(K, d, P)
+    wf = np.asarray(FM._fold_weight(w, P, d, used))
+    assert wf.shape == (P * C, len(used) * C)
+    pad = (K * d - d) // 2
+    wt = np.swapaxes(np.asarray(w), 1, 2)
+    for p in range(P):
+        for i, s in enumerate(used):
+            blk = wf[p * C : (p + 1) * C, i * C : (i + 1) * C]
+            tap = (s - p + pad) / d
+            if tap.is_integer() and 0 <= int(tap) < K:
+                np.testing.assert_array_equal(blk, wt[int(tap)])
+            else:
+                np.testing.assert_array_equal(blk, np.zeros_like(blk))
