@@ -49,3 +49,21 @@ def test_bench_vocoder_stages_smoke():
     stages = [r["stage"] for r in rows if "stage" in r]
     # tiny config has 2 upsample stages: pre, (up, mrf) x 2, post tail, full
     assert stages == ["pre0", "up0", "mrf0", "up1", "mrf1", "post", "full"]
+
+
+@pytest.mark.slow
+def test_bench_fold_ab_smoke():
+    # fold_ab takes --frames (not --units) and prints a text table + "best:"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks/bench_fold_ab.py"), "--cpu", "--tiny",
+         "--batch", "1", "--frames", "16", "--iters", "1", "--trials", "1"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "best:" in out.stdout, out.stdout[-2000:]
