@@ -20,12 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# (label, fold table, packing table) — packing {} means im2col everywhere
 CANDIDATES = [
-    ("unfolded", {}),
-    ("f16:8", {16: 8}),
-    ("f16:8,32:4", {16: 8, 32: 4}),
-    ("f16:8,32:4,64:2", {16: 8, 32: 4, 64: 2}),
-    ("f16:4,32:4", {16: 4, 32: 4}),
+    ("unfolded", {}, {}),
+    ("f16:8", {16: 8}, {}),
+    ("f16:8,32:4", {16: 8, 32: 4}, {}),
+    ("f16:8,32:4,64:2", {16: 8, 32: 4, 64: 2}, {}),
+    ("f16:4,32:4", {16: 4, 32: 4}, {}),
+    ("fold3+taps16", {16: 8, 32: 4, 64: 2}, {16: "taps"}),
+    ("fold3+taps16,32", {16: 8, 32: 4, 64: 2}, {16: "taps", 32: "taps"}),
+    ("fold3+taps-all", {16: 8, 32: 4, 64: 2}, {16: "taps", 32: "taps", 64: "taps"}),
 ]
 
 
@@ -67,10 +71,13 @@ def main():
 
     print(f"backend: {jax.default_backend()}, batch {args.batch} x {args.frames} frames")
     results = {}
-    for label, table in CANDIDATES:
+    for label, table, pack in CANDIDATES:
         orig = dict(FM.MRF_FOLD_TABLE)
+        orig_pack = dict(FM.MRF_PACK_TABLE)
         FM.MRF_FOLD_TABLE.clear()
         FM.MRF_FOLD_TABLE.update(table)
+        FM.MRF_PACK_TABLE.clear()
+        FM.MRF_PACK_TABLE.update(pack)
         try:
             fn = jax.jit(
                 lambda p, m: HG.generator_apply_fused(p, cfg, m, force_fused=args.cpu, interpret=args.cpu)
@@ -89,6 +96,8 @@ def main():
         finally:
             FM.MRF_FOLD_TABLE.clear()
             FM.MRF_FOLD_TABLE.update(orig)
+            FM.MRF_PACK_TABLE.clear()
+            FM.MRF_PACK_TABLE.update(orig_pack)
     if results:
         best = min(results, key=results.get)
         print(f"best: {best} ({results[best] * 1e3:.2f} ms)")

@@ -336,6 +336,7 @@ def generator_apply_fused(
         mrf_branch_pallas,
         mrf_branch_reference,
         mrf_fold_for_channels,
+        mrf_packing_for_channels,
         unfold_time,
     )
 
@@ -357,6 +358,8 @@ def generator_apply_fused(
         if truncate == ("up", i):
             return x
 
+        packing = mrf_packing_for_channels(channels)
+
         def _eligible(rk, rd, f):
             # channels <= 64 gate: in-context vocoder A/B, PARITY.md;
             # odd rk: the fused kernel assumes symmetric SAME padding
@@ -364,7 +367,7 @@ def generator_apply_fused(
                 use_pallas_backend
                 and channels <= 64
                 and rk % 2 == 1
-                and fused_branch_fits(channels, rk, len(rd), tuple(rd), x.dtype.itemsize, fold=f)
+                and fused_branch_fits(channels, rk, len(rd), tuple(rd), x.dtype.itemsize, fold=f, packing=packing)
             )
 
         # phase fold for the narrow stages (measured table, ops/fused_mrf.py):
@@ -396,6 +399,7 @@ def generator_apply_fused(
                     interpret=interpret,
                     fold=fold,
                     prefolded_len=seq_len,
+                    packing=packing,
                 )
             elif _eligible(rk, rd, 1):
                 out = mrf_branch_pallas(x, w1, b1, w2, b2, tuple(rd), cfg.leaky_relu_slope, interpret=interpret)

@@ -54,9 +54,21 @@ LRELU_SLOPE = 0.1
 # theory (2x rows vs ~2x padded FLOPs) — the table is what measurement kept.
 MRF_FOLD_TABLE = {16: 8, 32: 4, 64: 2}
 
+# Per-channel-count contraction packing ("im2col" | "taps"), measured the
+# same in-context way (benchmarks/bench_fold_ab.py).  "im2col" copies n_s
+# offset-shifted input slices into one big contraction; "taps" instead runs
+# 2*fpad+1 dense (P*C, P*C) x (P*C, T) matmuls straight off the activation
+# buffer — more padded FLOPs but ZERO im2col copies (the VPU cost that
+# dominates the narrow stages once folding fills the output rows).
+MRF_PACK_TABLE: dict = {}
+
 
 def mrf_fold_for_channels(channels: int) -> int:
     return MRF_FOLD_TABLE.get(channels, 1)
+
+
+def mrf_packing_for_channels(channels: int) -> str:
+    return MRF_PACK_TABLE.get(channels, "im2col")
 
 
 def branch_halo(kernel_size: int, dilations: Sequence[int]) -> int:
@@ -155,6 +167,29 @@ def _fold_weight(w: jax.Array, fold: int, d: int, used_s: Tuple[int, ...]) -> ja
     return z.transpose(0, 2, 1, 3).reshape(fold * co, len(used_s) * ci)
 
 
+def _fold_weight_taps(w: jax.Array, fold: int, d: int, fpad: int) -> jax.Array:
+    """(K, C_in, C_out) conv weight -> folded taps (2*fpad+1, fold*C_out, fold*C_in).
+
+    The folded conv is an ordinary dense conv over folded columns:
+    y_f[:, t] = sum_q W_q @ x_f[:, t + q], q in [-fpad, fpad], where
+    W_q[p*C_out + co, r*C_in + ci] = w[tap, ci, co] for the unique (q, r)
+    with p + tap*d - pad = q*fold + r.  Fewer, denser matmuls than the
+    im2col form (contraction AND rows both P*C) at the cost of more padded
+    FLOPs — the kernel never materializes an im2col buffer in this mode.
+    """
+    K, ci, co = w.shape
+    pad = (K * d - d) // 2
+    wt = jnp.transpose(w, (0, 2, 1))  # (K, C_out, C_in)
+    p_arr = np.repeat(np.arange(fold), K)
+    tap_arr = np.tile(np.arange(K), fold)
+    s = p_arr + tap_arr * d - pad
+    q_arr = np.floor_divide(s, fold) + fpad  # in [0, 2*fpad]
+    r_arr = np.mod(s, fold)
+    z = jnp.zeros((2 * fpad + 1, fold, fold, co, ci), w.dtype)
+    z = z.at[q_arr, p_arr, r_arr].set(wt[tap_arr])  # (q, p, r) <-> (p, s): unique
+    return z.transpose(0, 1, 3, 2, 4).reshape(2 * fpad + 1, fold * co, fold * ci)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -172,6 +207,7 @@ def _mrf_kernel(
     width: int,
     slope: float,
     seq_len: int,
+    packing: str,
 ):
     # MXU shape note: a per-tap (C_out, C_in) x (C_in, T) matmul fills only
     # C/128 of the MXU's contraction AND output-row dims — 12.5% at C=16.
@@ -179,18 +215,26 @@ def _mrf_kernel(
     # contraction (up to ~900 rows), and phase folding packs `fold` output
     # time-phases into the output rows (P*C = 128 at C=16): each conv is ONE
     # (P*C, n_s*C) x (n_s*C, T_blk) matmul in the caller's compute dtype
-    # (bf16 in production) with f32 accumulation.  Per-stage measurements
-    # and the padded-FLOP accounting live in PARITY.md.
+    # (bf16 in production) with f32 accumulation.  In "taps" packing the
+    # im2col buffer disappears entirely: each conv is 2*fpad+1 dense
+    # (P*C, P*C) x (P*C, T_blk) matmuls read straight off the activation
+    # value at shifted column offsets.  Per-stage measurements and the
+    # padded-FLOP accounting live in PARITY.md.
     w1_refs = rest[:n_pairs]
     w2_refs = rest[n_pairs : 2 * n_pairs]
     b1_ref = rest[2 * n_pairs]
     b2_ref = rest[2 * n_pairs + 1]
     o_ref = rest[2 * n_pairs + 2]
-    x_buf, h_buf, im_buf = rest[2 * n_pairs + 3 :]
+    if packing == "taps":
+        x_buf, h_buf = rest[2 * n_pairs + 3 :]
+        im_buf = None
+        op_dtype = w1_refs[0].dtype
+    else:
+        x_buf, h_buf, im_buf = rest[2 * n_pairs + 3 :]
+        op_dtype = im_buf.dtype
 
     P, C = fold, chans
     PC = P * C
-    op_dtype = im_buf.dtype
     x_buf[...] = x_ref[0].astype(jnp.float32)
 
     # folded column of buffer column 0 (block i's output starts at folded
@@ -208,6 +252,31 @@ def _mrf_kernel(
             g = cols * P + jax.lax.broadcasted_iota(jnp.int32, (PC, w), 0) // C
         return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
 
+    def conv(act, w_ref, used_s, fpad, o_w):
+        """One folded conv on `act` (already lrelu'd/masked/cast), output
+        width o_w = act width - 2*fpad, f32 accumulation."""
+        if packing == "taps":
+            acc = None
+            for qi in range(2 * fpad + 1):
+                part = jax.lax.dot_general(
+                    w_ref[qi],
+                    act[:, qi : qi + o_w],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+            return acc
+        for idx, s in enumerate(used_s):
+            q, r = divmod(s, P)
+            c0 = fpad + q
+            im_buf[idx * C : (idx + 1) * C, pl.ds(0, o_w)] = act[r * C : (r + 1) * C, c0 : c0 + o_w]
+        return jax.lax.dot_general(
+            w_ref[...],
+            im_buf[pl.ds(0, len(used_s) * C), pl.ds(0, o_w)],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     offset = 0  # consumed folded halo so far
     for j in range(n_pairs):
         used1, fpad1, used2, fpad2 = metas[j]
@@ -220,16 +289,7 @@ def _mrf_kernel(
         xin = x_buf[:, pl.ds(offset, in_w)]
         act = jnp.where(xin > 0, xin, xin * slope)
         act = masked(act, offset, in_w).astype(op_dtype)
-        for idx, s in enumerate(used1):
-            q, r = divmod(s, P)
-            c0 = fpad1 + q
-            im_buf[idx * C : (idx + 1) * C, pl.ds(0, mid_w)] = act[r * C : (r + 1) * C, c0 : c0 + mid_w]
-        acc = jax.lax.dot_general(
-            w1_refs[j][...],
-            im_buf[pl.ds(0, len(used1) * C), pl.ds(0, mid_w)],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc = conv(act, w1_refs[j], used1, fpad1, mid_w)
         acc += b1_ref[j].astype(jnp.float32)
         h_buf[:, pl.ds(0, mid_w)] = acc
 
@@ -237,16 +297,7 @@ def _mrf_kernel(
         hmid = h_buf[:, pl.ds(0, mid_w)]
         act2 = jnp.where(hmid > 0, hmid, hmid * slope)
         act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
-        for idx, s in enumerate(used2):
-            q, r = divmod(s, P)
-            c0 = fpad2 + q
-            im_buf[idx * C : (idx + 1) * C, pl.ds(0, out_w)] = act2[r * C : (r + 1) * C, c0 : c0 + out_w]
-        acc2 = jax.lax.dot_general(
-            w2_refs[j][...],
-            im_buf[pl.ds(0, len(used2) * C), pl.ds(0, out_w)],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w)
         acc2 += b2_ref[j].astype(jnp.float32)
 
         # residual add against the matching center slice of x
@@ -261,39 +312,52 @@ def _mrf_kernel(
 VMEM_BUDGET = 12 * 2**20  # conservative slice of the ~16 MB per-core VMEM
 
 
-def _branch_vmem_bytes(C: int, n_pairs: int, width: int, t_blk: int, itemsize: int, fold: int, ns_list) -> int:
+def _branch_vmem_bytes(
+    C: int, n_pairs: int, width: int, t_blk: int, itemsize: int, fold: int, ns_list, packing: str
+) -> int:
     """Rough VMEM footprint of one kernel invocation."""
     PC = C * fold
-    weights = sum(ns * C * PC for ns in ns_list) * itemsize + 2 * n_pairs * PC * 4
-    scratch = 2 * PC * width * 4  # two f32 (PC, width) buffers
-    scratch += max(ns_list) * C * width * itemsize  # im2col buffer (operand dtype)
+    if packing == "taps":
+        # ns_list carries n_q per conv; each conv's weight is (n_q, PC, PC)
+        weights = sum(nq * PC * PC for nq in ns_list) * itemsize + 2 * n_pairs * PC * 4
+        scratch = 2 * PC * width * 4  # two f32 (PC, width) buffers, no im2col
+    else:
+        weights = sum(ns * C * PC for ns in ns_list) * itemsize + 2 * n_pairs * PC * 4
+        scratch = 2 * PC * width * 4  # two f32 (PC, width) buffers
+        scratch += max(ns_list) * C * width * itemsize  # im2col buffer (operand dtype)
     blocks = 2 * PC * width * itemsize + 2 * PC * t_blk * itemsize  # in (dbl-buffered) + out
     return weights + scratch + blocks
 
 
-def _geometry(K: int, dilations: Sequence[int], fold: int):
+def _geometry(K: int, dilations: Sequence[int], fold: int, packing: str = "im2col"):
     metas = _conv_metas(K, dilations, fold)
     halo_f = sum(m[1] + m[3] for m in metas)
-    ns_list = [len(m[0]) for m in metas] + [len(m[2]) for m in metas]
+    if packing == "taps":
+        ns_list = [2 * m[1] + 1 for m in metas] + [2 * m[3] + 1 for m in metas]
+    else:
+        ns_list = [len(m[0]) for m in metas] + [len(m[2]) for m in metas]
     return metas, halo_f, ns_list
 
 
-def pick_t_blk(C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int, fold: int = 1) -> int:
+def pick_t_blk(
+    C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int, fold: int = 1, packing: str = "im2col"
+) -> int:
     """Largest 128-multiple time block (<=1024 folded columns) whose
     invocation fits VMEM; 0 if even the minimum block does not fit (caller
     falls back to XLA)."""
-    _, halo_f, ns_list = _geometry(K, dilations, fold)
+    _, halo_f, ns_list = _geometry(K, dilations, fold, packing)
     for t_blk in (1024, 768, 512, 384, 256, 128):
         width = -(-(t_blk + 2 * halo_f) // 128) * 128
-        if _branch_vmem_bytes(C, n_pairs, width, t_blk, itemsize, fold, ns_list) <= VMEM_BUDGET:
+        if _branch_vmem_bytes(C, n_pairs, width, t_blk, itemsize, fold, ns_list, packing) <= VMEM_BUDGET:
             return t_blk
     return 0
 
 
 def fused_branch_fits(
-    C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int = 2, fold: int = 1
+    C: int, K: int, n_pairs: int, dilations: Sequence[int], itemsize: int = 2, fold: int = 1,
+    packing: str = "im2col",
 ) -> bool:
-    return pick_t_blk(C, K, n_pairs, dilations, itemsize, fold=fold) > 0
+    return pick_t_blk(C, K, n_pairs, dilations, itemsize, fold=fold, packing=packing) > 0
 
 
 def mrf_branch_pallas(
@@ -308,6 +372,7 @@ def mrf_branch_pallas(
     interpret: bool = False,
     fold: int = 1,
     prefolded_len: Optional[int] = None,
+    packing: str = "im2col",
 ) -> jax.Array:
     """Fused branch in (C, T)-layout Pallas; input/output stay NWC.
 
@@ -316,7 +381,11 @@ def mrf_branch_pallas(
     folded layout (B, fold*C, ceil(T/fold)) — pass the true T here; the
     output stays folded (the generator folds once per MRF stage and shares
     the layout across its three branches, models/hifigan.py).
+    ``packing``: "im2col" (one matmul per conv over an in-VMEM im2col) or
+    "taps" (2*fpad+1 dense (P*C, P*C) matmuls, no im2col buffer).
     """
+    if packing not in ("im2col", "taps"):
+        raise ValueError(f"unknown packing {packing!r}")
     P = int(fold)
     n_pairs, K, C, _ = w1.shape
     if K % 2 == 0:
@@ -336,11 +405,11 @@ def mrf_branch_pallas(
         x_f = fold_time(x, P) if P > 1 else jnp.swapaxes(x, 1, 2)
     t_f = x_f.shape[2]
 
-    metas, halo_f, _ = _geometry(K, tuple(dilations), P)
+    metas, halo_f, _ = _geometry(K, tuple(dilations), P, packing)
     if t_blk is None:
-        t_blk = pick_t_blk(C, K, n_pairs, dilations, x.dtype.itemsize, fold=P)
+        t_blk = pick_t_blk(C, K, n_pairs, dilations, x.dtype.itemsize, fold=P, packing=packing)
         if t_blk == 0:
-            raise ValueError(f"fused MRF branch (C={C}, K={K}, fold={P}) does not fit VMEM")
+            raise ValueError(f"fused MRF branch (C={C}, K={K}, fold={P}, {packing}) does not fit VMEM")
     # window width must be a 128-multiple (Mosaic lane-dim block constraint);
     # the left pad is exactly halo_f, the rounding slack rides on the right
     # as always-masked columns
@@ -350,9 +419,14 @@ def mrf_branch_pallas(
     x_pad = jnp.pad(x_f, ((0, 0), (0, 0), (halo_f, l_pad - halo_f - t_f)))
 
     # block-Toeplitz weights: (pairs, K, C_in, C_out) -> per-conv
-    # (P*C_out, n_s*C_in); biases tile across phases -> (pairs, P*C, 1)
-    w1f = [_fold_weight(w1[j], P, d, metas[j][0]) for j, d in enumerate(dilations)]
-    w2f = [_fold_weight(w2[j], P, 1, metas[j][2]) for j in range(n_pairs)]
+    # (P*C_out, n_s*C_in) [im2col] or (n_q, P*C_out, P*C_in) [taps];
+    # biases tile across phases -> (pairs, P*C, 1)
+    if packing == "taps":
+        w1f = [_fold_weight_taps(w1[j], P, d, metas[j][1]) for j, d in enumerate(dilations)]
+        w2f = [_fold_weight_taps(w2[j], P, 1, metas[j][3]) for j in range(n_pairs)]
+    else:
+        w1f = [_fold_weight(w1[j], P, d, metas[j][0]) for j, d in enumerate(dilations)]
+        w2f = [_fold_weight(w2[j], P, 1, metas[j][2]) for j in range(n_pairs)]
     b1f = jnp.tile(b1, (1, P))[..., None]
     b2f = jnp.tile(b2, (1, P))[..., None]
     max_ns_c = max(max(len(m[0]), len(m[2])) for m in metas) * C
@@ -369,6 +443,7 @@ def mrf_branch_pallas(
         width=width,
         slope=slope,
         seq_len=T,
+        packing=packing,
     )
     in_specs = [
         # overlapping halo windows: time dim is Element-indexed — window i
@@ -381,9 +456,17 @@ def mrf_branch_pallas(
     for wf in w1f + w2f:
         # weights are grid-invariant: single-buffer them (no double
         # buffering) so wide-channel stages fit in VMEM
-        in_specs.append(pl.BlockSpec(wf.shape, lambda b, i: (0, 0), pipeline_mode=pl.Buffered(1)))
+        zeros = (0,) * wf.ndim
+        in_specs.append(pl.BlockSpec(wf.shape, lambda b, i, z=zeros: z, pipeline_mode=pl.Buffered(1)))
     in_specs.append(pl.BlockSpec(b1f.shape, lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)))
     in_specs.append(pl.BlockSpec(b2f.shape, lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)))
+
+    scratch_shapes = [
+        pltpu.VMEM((PC, width), jnp.float32),
+        pltpu.VMEM((PC, width), jnp.float32),
+    ]
+    if packing != "taps":
+        scratch_shapes.append(pltpu.VMEM((max_ns_c, width), x.dtype))
 
     out = pl.pallas_call(
         kernel,
@@ -391,11 +474,7 @@ def mrf_branch_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, PC, t_blk), lambda b, i: (b, 0, i)),
         out_shape=jax.ShapeDtypeStruct((B, PC, n_blocks * t_blk), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((PC, width), jnp.float32),
-            pltpu.VMEM((PC, width), jnp.float32),
-            pltpu.VMEM((max_ns_c, width), x.dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(x_pad, *w1f, *w2f, b1f, b2f)
 

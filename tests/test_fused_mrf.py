@@ -186,14 +186,15 @@ def test_used_offsets_and_folded_pads():
     assert metas[0][3] == 1  # conv2 pad 5 -> 1
 
 
+@pytest.mark.parametrize("packing", ["im2col", "taps"])
 @pytest.mark.parametrize("P", [2, 4, 8])
 @pytest.mark.parametrize("C,K,T", [(16, 3, 100), (16, 11, 137)])
-def test_folded_interpret_matches_reference(P, C, K, T):
+def test_folded_interpret_matches_reference(P, C, K, T, packing):
     w1, b1, w2, b2 = make_branch(C, K)
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, T, C)), jnp.float32) * 0.5
 
     ref = FM.mrf_branch_reference(x, w1, b1, w2, b2, (1, 3, 5))
-    got = FM.mrf_branch_pallas(x, w1, b1, w2, b2, (1, 3, 5), t_blk=128, interpret=True, fold=P)
+    got = FM.mrf_branch_pallas(x, w1, b1, w2, b2, (1, 3, 5), t_blk=128, interpret=True, fold=P, packing=packing)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
@@ -228,6 +229,59 @@ def test_folded_bf16_operands():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.06
     )
+
+
+def test_fold_weight_taps_equals_block_toeplitz_columns():
+    """The taps form is the SAME block-Toeplitz matrix, sliced by folded
+    column offset q: W_taps[q][p*C+co, r*C+ci] must equal the im2col form's
+    entry for offset s = (q-fpad)*P + r (zeros where s is unused)."""
+    K, C, P, d = 11, 4, 8, 3
+    w = jnp.asarray(np.random.default_rng(9).standard_normal((K, C, C)), jnp.float32)
+    pad = (K * d - d) // 2
+    fpad = -(-pad // P)
+    used = FM._used_offsets(K, d, P)
+    w_im = np.asarray(FM._fold_weight(w, P, d, used))
+    w_taps = np.asarray(FM._fold_weight_taps(w, P, d, fpad))
+    assert w_taps.shape == (2 * fpad + 1, P * C, P * C)
+    index = {s: i for i, s in enumerate(used)}
+    for qi in range(2 * fpad + 1):
+        for r in range(P):
+            s = (qi - fpad) * P + r
+            blk = w_taps[qi][:, r * C : (r + 1) * C]
+            if s in index:
+                np.testing.assert_array_equal(blk, w_im[:, index[s] * C : (index[s] + 1) * C])
+            else:
+                np.testing.assert_array_equal(blk, np.zeros_like(blk))
+
+
+def test_generator_folded_taps_matches_module():
+    """generator_apply_fused with the taps packing table patched in must
+    stay waveform-exact."""
+    from speech_resynth_tpu.models import hifigan as HG
+
+    cfg = HG.HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=64,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    gen = HG.HifiGanGenerator(cfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 23, 8)), jnp.float32)
+    variables = gen.init(jax.random.key(0), mel)
+    ref = gen.apply(variables, mel)
+
+    orig = dict(FM.MRF_PACK_TABLE)
+    FM.MRF_PACK_TABLE.update({16: "taps", 32: "taps"})
+    try:
+        got = HG.generator_apply_fused(
+            variables["params"], cfg, mel, compute_dtype=jnp.float32, force_fused=True, interpret=True, mrf_fold=4
+        )
+    finally:
+        FM.MRF_PACK_TABLE.clear()
+        FM.MRF_PACK_TABLE.update(orig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
 def test_fold_weight_block_toeplitz_structure():
