@@ -169,6 +169,14 @@ def main():
         costs = [fused_stage_cost(i) for i in range(last + 1)]
         return sum(c[0] for c in costs), sum(c[1] for c in costs)
 
+    # Dispatch/sync floor: a jitted near-empty program under the SAME call +
+    # 1-element-sync pattern.  Without this the first prefix delta absorbs
+    # the whole per-trial floor and reads as (fake) conv_pre time — on the
+    # tunneled chip that was ~2.5-3.5 ms of pure harness overhead.
+    null_fn = jax.jit(lambda params, mel: mel[:1, :1, :1] * 1.0)
+    floor_ms = timed(null_fn, args.trials, args.iters) * 1e3
+    print(json.dumps({"stage": "null_floor", "delta_ms": round(floor_ms, 2)}), flush=True)
+
     rows = []
     for pt in points:
         fn = make(pt)
@@ -186,7 +194,8 @@ def main():
 
     full = rows[-1]
     rows[-1] = dict(full, prefix="post")  # tail delta = conv_post + tanh + cast
-    prev = {"ms": 0.0, "gflops": 0.0, "gbytes": 0.0}
+    # seed with the measured floor so pre0's delta is compute, not harness
+    prev = {"ms": floor_ms, "gflops": 0.0, "gbytes": 0.0}
     for row in rows:
         d_ms = row["ms"] - prev["ms"]
         d_fl = row["gflops"] - prev["gflops"]
@@ -197,7 +206,7 @@ def main():
             "delta_ms": round(d_ms, 2),
             "delta_gflops": round(d_fl, 1),
             "delta_gbytes": round(d_by, 3),
-            "pct_full_time": round(100 * d_ms / full["ms"], 1) if full["ms"] else None,
+            "pct_full_time": round(100 * d_ms / (full["ms"] - floor_ms), 1) if full["ms"] > floor_ms else None,
             "achieved_tflops": round(d_fl / d_ms, 1) if d_ms > 0 else None,
             "achieved_gbps": round(d_by / sec, 1) if d_ms > 0 else None,
             "pct_peak_flops": round(100 * d_fl * 1e9 / sec / peak_flops, 1) if peak_flops and d_ms > 0 else None,

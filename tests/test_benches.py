@@ -47,8 +47,9 @@ def test_bench_roofline_smoke():
 def test_bench_vocoder_stages_smoke():
     rows = _run_bench("benchmarks/bench_vocoder_stages.py")
     stages = [r["stage"] for r in rows if "stage" in r]
-    # tiny config has 2 upsample stages: pre, (up, mrf) x 2, post tail, full
-    assert stages == ["pre0", "up0", "mrf0", "up1", "mrf1", "post", "full"]
+    # tiny config has 2 upsample stages: measured dispatch/sync floor, pre,
+    # (up, mrf) x 2, post tail, full
+    assert stages == ["null_floor", "pre0", "up0", "mrf0", "up1", "mrf1", "post", "full"]
 
 
 @pytest.mark.slow
