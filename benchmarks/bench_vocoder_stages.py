@@ -142,7 +142,11 @@ def main():
     # prefix that contains them, mirroring generator_apply_fused's dispatch
     # gate exactly.  Time deltas are unaffected; this fixes the flop/byte
     # attribution for the fused stages.
-    from speech_resynth_tpu.ops.fused_mrf import fused_branch_fits
+    from speech_resynth_tpu.ops.fused_mrf import (
+        fused_branch_fits,
+        mrf_fold_for_channels,
+        mrf_packing_for_channels,
+    )
 
     on_pallas = jax.default_backend() in ("tpu", "axon")
     itemsize = jnp.dtype(cd).itemsize
@@ -153,7 +157,14 @@ def main():
         t_stage = frames * int(np.prod(cfg.upsample_rates[: i + 1]))
         fl = by = 0.0
         for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
-            if on_pallas and channels <= 64 and rk % 2 == 1 and fused_branch_fits(channels, rk, len(rd), tuple(rd), itemsize):
+            # mirror generator_apply_fused's dispatch: folded path when the
+            # table says so and it fits VMEM, else the unfolded fused path
+            fold = mrf_fold_for_channels(channels)
+            pack = mrf_packing_for_channels(channels)
+            fused = fused_branch_fits(
+                channels, rk, len(rd), tuple(rd), itemsize, fold=fold, packing=pack
+            ) or fused_branch_fits(channels, rk, len(rd), tuple(rd), itemsize)
+            if on_pallas and channels <= 64 and rk % 2 == 1 and fused:
                 fl += len(rd) * 2 * 2.0 * args.batch * t_stage * channels * channels * rk
                 by += 2.0 * args.batch * t_stage * channels * itemsize
         return fl, by
