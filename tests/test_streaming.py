@@ -1,0 +1,102 @@
+"""Streaming vocoder: chunked mel -> wav equals the monolithic batch apply.
+
+The claim under test (pipeline/streaming.py) is exactness, not approximate
+overlap-add: every sample the stream emits is the SAME sample the full
+``HifiGanGenerator.apply`` produces, including the zero-padded utterance
+edges, because windows are receptive-field-padded and the first/last windows
+are pinned to the true utterance boundaries."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_resynth_tpu.core.precision import FLOAT32
+from speech_resynth_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator
+from speech_resynth_tpu.pipeline.streaming import (
+    StreamingVocoder,
+    context_frames_for,
+    receptive_field_samples,
+    stream_waveform,
+)
+
+TINY = HifiGanConfig(
+    model_in_dim=8,
+    upsample_initial_channel=32,
+    upsample_rates=(4, 2),
+    upsample_kernel_sizes=(8, 4),
+    resblock_kernel_sizes=(3, 5),
+    resblock_dilation_sizes=((1, 2), (1, 2)),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_gen():
+    import jax
+
+    model = HifiGanGenerator(TINY, policy=FLOAT32)
+    mel = jnp.zeros((1, 4, TINY.model_in_dim), jnp.float32)
+    variables = model.init(jax.random.key(0), mel)
+    return model, variables
+
+
+def _full(model, variables, mel):
+    return np.asarray(model.apply(variables, jnp.asarray(mel[None], dtype=jnp.float32)))[0]
+
+
+def test_context_is_analytic_and_small():
+    # production config: ~7k samples -> a couple dozen frames of context
+    prod = HifiGanConfig()
+    assert receptive_field_samples(prod) < 10 * prod.total_upsample * 4
+    assert 1 <= context_frames_for(prod) <= 40
+    assert context_frames_for(TINY) == -(-receptive_field_samples(TINY) // TINY.total_upsample)
+
+
+def test_stream_equals_batch_irregular_pushes(tiny_gen):
+    model, variables = tiny_gen
+    rng = np.random.default_rng(0)
+    T = 57
+    mel = rng.standard_normal((T, TINY.model_in_dim)).astype(np.float32)
+    want = _full(model, variables, mel)
+
+    sv = StreamingVocoder(variables, TINY, chunk_frames=7, policy=FLOAT32, fused=False)
+    parts = []
+    i = 0
+    for step in [1, 3, 5, 11, 2, 9, 30]:  # irregular arrival sizes
+        parts.append(sv.push(mel[i : i + step]))
+        i += step
+    assert i >= T
+    parts.append(sv.flush())
+    got = np.concatenate(parts)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    # interior emissions really happened before flush (streaming, not buffering)
+    assert sum(p.size for p in parts[:-1]) > 0
+
+
+def test_stream_shorter_than_one_window(tiny_gen):
+    model, variables = tiny_gen
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((9, TINY.model_in_dim)).astype(np.float32)
+    want = _full(model, variables, mel)
+    got = stream_waveform(variables, TINY, mel, chunk_frames=4, policy=FLOAT32, fused=False)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_stream_pcm16_wire(tiny_gen):
+    model, variables = tiny_gen
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((41, TINY.model_in_dim)).astype(np.float32)
+    want = _full(model, variables, mel)
+    want16 = np.round(np.clip(want, -1.0, 1.0) * 32767.0).astype(np.int16)
+    got = stream_waveform(variables, TINY, mel, chunk_frames=5, policy=FLOAT32, fused=False, wire="pcm16")
+    assert got.dtype == np.int16
+    # pcm16 rounding can flip by 1 LSB where f32 accumulation differs at ulp scale
+    np.testing.assert_allclose(got.astype(np.int32), want16.astype(np.int32), rtol=0, atol=1)
+
+
+def test_push_after_flush_raises(tiny_gen):
+    _, variables = tiny_gen
+    sv = StreamingVocoder(variables, TINY, chunk_frames=4, policy=FLOAT32, fused=False)
+    sv.flush()
+    with pytest.raises(RuntimeError):
+        sv.push(np.zeros((1, TINY.model_in_dim), np.float32))
