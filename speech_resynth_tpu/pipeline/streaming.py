@@ -27,6 +27,7 @@ dispatch as batch synthesis.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -62,6 +63,37 @@ def receptive_field_samples(config: HifiGanConfig) -> int:
 def context_frames_for(config: HifiGanConfig) -> int:
     """Mel frames of one-sided context that cover the receptive field."""
     return -(-receptive_field_samples(config) // config.total_upsample)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_fn(config: HifiGanConfig, fused: bool, wire: str, policy: Policy):
+    """One jitted pure window function per (config, fused, wire, policy).
+
+    Module-level cache so every stream of the same shape shares ONE compiled
+    program — a per-instance closure would retrace per utterance, and
+    params-as-arguments keeps the param tree out of the HLO (CLAUDE.md: big
+    closed-over trees 413 the tunneled remote compile)."""
+
+    def _forward(variables: dict, mel: jax.Array) -> jax.Array:
+        if fused:
+            spec = mel
+            if config.normalize_before:
+                buf = variables["buffers"]
+                spec = (mel - buf["mean"]) / buf["scale"]
+            wav = generator_apply_fused(
+                variables["params"], config, spec, compute_dtype=policy.compute_dtype
+            )
+        else:
+            wav = HifiGanGenerator(config, policy=policy).apply(variables, mel)
+        if wire == "pcm16":
+            wav = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        elif wire == "mulaw":
+            from ..dsp.mulaw import mulaw_encode
+
+            wav = mulaw_encode(wav)
+        return wav
+
+    return jax.jit(_forward)
 
 
 class StreamingVocoder:
@@ -104,28 +136,10 @@ class StreamingVocoder:
         if fused is None:
             fused = jax.default_backend() in ("tpu", "axon")
 
-        def _forward(mel: jax.Array) -> jax.Array:
-            if fused:
-                spec = mel
-                if config.normalize_before:
-                    buf = variables["buffers"]
-                    spec = (mel - buf["mean"]) / buf["scale"]
-                wav = generator_apply_fused(
-                    variables["params"], config, spec, compute_dtype=policy.compute_dtype
-                )
-            else:
-                wav = HifiGanGenerator(config, policy=policy).apply(variables, mel)
-            if wire == "pcm16":
-                wav = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-            elif wire == "mulaw":
-                from ..dsp.mulaw import mulaw_encode
-
-                wav = mulaw_encode(wav)
-            return wav
-
-        # One static window shape -> one compiled program for the stream.
-        self._window_fn = jax.jit(_forward)
-        self._full_fn = _forward  # flush fallback for streams shorter than one window
+        # Shared across streams: one static window shape -> one compiled
+        # program for EVERY utterance with this (config, wire, policy).
+        self._fn = _window_fn(config, bool(fused), wire, policy)
+        self._variables = variables
         self._mel: List[np.ndarray] = []  # buffered frames, each (model_in_dim,)
         self._emitted = 0  # mel frames whose samples have been emitted
         self._finished = False
@@ -134,7 +148,7 @@ class StreamingVocoder:
 
     def _run_window(self, start: int) -> np.ndarray:
         mel = np.stack(self._mel[start : start + self.window])[None].astype(np.float32)
-        return np.asarray(self._window_fn(jnp.asarray(mel)))[0]
+        return np.asarray(self._fn(self._variables, jnp.asarray(mel)))[0]
 
     def _drain_ready(self) -> List[np.ndarray]:
         out: List[np.ndarray] = []
@@ -173,9 +187,10 @@ class StreamingVocoder:
             return np.zeros((0,), self._out_dtype)
         full_len = (total - 1) * self.hop + self.extra
         if total <= self.window:
-            # short stream: one (recompiled) full pass — both edges are true
+            # short stream: one full pass at the stream's own length — both
+            # edges are true (same shared jit cache, keyed by shape)
             mel = np.stack(self._mel)[None].astype(np.float32)
-            wav = np.asarray(jax.jit(self._full_fn)(jnp.asarray(mel)))[0]
+            wav = np.asarray(self._fn(self._variables, jnp.asarray(mel)))[0]
             return wav[self._emitted * self.hop : full_len]
         start = total - self.window  # right edge == true end: tail padding matches
         wav = self._run_window(start)

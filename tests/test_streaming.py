@@ -94,6 +94,16 @@ def test_stream_pcm16_wire(tiny_gen):
     np.testing.assert_allclose(got.astype(np.int32), want16.astype(np.int32), rtol=0, atol=1)
 
 
+def test_window_fn_shared_across_streams(tiny_gen):
+    # serving: a new stream per utterance must NOT retrace/recompile — the
+    # jitted window fn is cached per (config, fused, wire, policy), with
+    # params passed as arguments (not closed over)
+    _, variables = tiny_gen
+    a = StreamingVocoder(variables, TINY, chunk_frames=4, policy=FLOAT32, fused=False)
+    b = StreamingVocoder(variables, TINY, chunk_frames=9, policy=FLOAT32, fused=False)
+    assert a._fn is b._fn
+
+
 def test_push_after_flush_raises(tiny_gen):
     _, variables = tiny_gen
     sv = StreamingVocoder(variables, TINY, chunk_frames=4, policy=FLOAT32, fused=False)
