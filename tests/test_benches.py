@@ -53,6 +53,17 @@ def test_bench_vocoder_stages_smoke():
 
 
 @pytest.mark.slow
+def test_bench_streaming_smoke():
+    # --frames 40 > window so the real windowed path runs, not just the
+    # short-stream fallback
+    rows = _run_bench("benchmarks/bench_streaming.py", "--frames", "40", "--chunk", "8")
+    (meta,) = [r for r in rows if "window" in r]
+    (res,) = [r for r in rows if r.get("metric") == "streaming_ttfa"]
+    assert meta["frames"] == 40 and meta["chunk"] == 8
+    assert res["value"] > 0 and res["total_stream_ms"] > 0 and res["ttfa_batch_ms"] > 0
+
+
+@pytest.mark.slow
 def test_bench_fold_ab_smoke():
     # fold_ab takes --frames (not --units) and prints a text table + "best:"
     env = dict(os.environ)
