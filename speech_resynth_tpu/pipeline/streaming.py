@@ -152,9 +152,15 @@ class StreamingVocoder:
 
     def _drain_ready(self) -> List[np.ndarray]:
         out: List[np.ndarray] = []
-        # to emit frames [E, E+chunk) we need right context through E+chunk+ctx
-        while len(self._mel) >= self._emitted + self.chunk + self.ctx:
+        # to emit frames [E, E+chunk) we need right context through E+chunk+ctx;
+        # additionally wait for a FULL window so every interior call has the one
+        # static shape (early windows start at frame 0, where the margin past
+        # the emit region is > ctx — harmless, still exact)
+        while True:
             start = max(0, self._emitted - self.ctx)
+            need = max(self._emitted + self.chunk + self.ctx, start + self.window)
+            if len(self._mel) < need:
+                break
             wav = self._run_window(start)
             lo = (self._emitted - start) * self.hop
             out.append(wav[lo : lo + self.chunk * self.hop])
