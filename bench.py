@@ -4,16 +4,33 @@ Measures the BASELINE.json headline metric — audio seconds synthesized per
 wall-clock second per chip — over the full inference path: 16-step CFM Euler
 ODE (reference config dt=0.0625, truncation 1.0;
 configs/resynth/mhubert-expresso-2000.yaml:42-43) + HiFi-GAN x320 vocoder at
-reference model sizes.  Prints one JSON line (plus MFU/throughput fields).
-``vs_baseline`` is measured RTF / 50 (the >=50x-real-time-per-chip north
-star).
+reference model sizes.  ``vs_baseline`` is measured RTF / 50 (the
+>=50x-real-time-per-chip north star; reference RTF path
+/root/reference/src/flow_matching/models.py:223-256).
 
-Protocol (round 3): ``value`` is the MEDIAN RTF over ``--trials`` (default
-5) independent trials of ``--iters`` (default 20) batches each — fresh RNG
-keys per batch, one compiled program throughout.  ``rtf_min``/``rtf_max``
-give the spread so a single noisy-neighbor reading on this contended 1-core
-host can't masquerade as a regression (readings historically swing ±15%
-with host CPU contention; see PARITY.md bench methodology).
+Protocol (frozen at round 4): ``value`` is the MEDIAN RTF over ``--trials``
+(default 5) independent trials of ``--iters`` (default 20) batches each —
+fresh RNG keys per batch, one compiled program throughout.  ``rtf_min``/
+``rtf_max`` give the spread so a single noisy-neighbor reading on this
+contended 1-core host can't masquerade as a regression (readings historically
+swing ±15% with host CPU contention; see PARITY.md bench methodology).
+
+Timeout-proofing (round 4 — BENCH_r03.json recorded rc=124/parsed=null
+because the r03 bench printed nothing until the very end):
+
+- A JSON result line is print-and-flushed after EVERY completed phase
+  (first full trial, remaining trials, compute-only trials, D2H probe, MFU
+  lowering), each carrying ``"provisional": true`` except the last.  A
+  driver that kills the process mid-run still finds the latest JSON line in
+  its captured tail.
+- Each phase start is heartbeat to stderr with elapsed seconds, so a killed
+  run leaves a diagnosable tail saying which phase it died in.
+- An internal wall-clock budget (``BENCH_BUDGET_S`` env, default 900 s,
+  measured from process start) degrades the protocol in stages — extra
+  trials, compute-only trials, the D2H probe, and the AOT MFU lowering are
+  dropped before the headline is — and a watchdog thread prints the best
+  available result and exits 0 if the budget expires mid-phase (e.g. inside
+  a hung remote compile).
 
 ``--pretrained <dir>`` benches a converted checkpoint directory (our
 composite HF-format layout) instead of random weights — throughput is
@@ -22,12 +39,77 @@ weight-agnostic, but this keeps the bench honest once real weights exist.
 
 import argparse
 import json
+import os
 import statistics
+import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+# Latest result snapshot, shared with the watchdog.  Every completed phase
+# refreshes it; the watchdog prints it verbatim (plus budget_exceeded) if the
+# budget expires before the final line.
+_LOCK = threading.Lock()
+_SNAPSHOT = {
+    "metric": "audio_sec_synthesized_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "x realtime",
+    "vs_baseline": 0.0,
+    "provisional": True,
+    "phase": "startup",
+}
+_FINAL_PRINTED = threading.Event()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _remaining() -> float:
+    return _BUDGET_S - _elapsed()
+
+
+def _heartbeat(phase: str) -> None:
+    print(f"[bench] t=+{_elapsed():.0f}s phase={phase} budget_left={_remaining():.0f}s", file=sys.stderr, flush=True)
+    with _LOCK:
+        _SNAPSHOT["phase"] = phase
+
+
+def _emit(result: dict, provisional: bool) -> None:
+    """Print a full-schema JSON line now and remember it for the watchdog."""
+    out = dict(result)
+    if provisional:
+        out["provisional"] = True
+    else:
+        out.pop("provisional", None)
+        out.pop("phase", None)
+    with _LOCK:
+        _SNAPSHOT.clear()
+        _SNAPSHOT.update(out)
+    print(json.dumps(out), flush=True)
+    if not provisional:
+        _FINAL_PRINTED.set()
+
+
+def _watchdog() -> None:
+    """Hard-exit with the best available JSON line when the budget expires.
+
+    Covers the failure mode a cooperative budget check cannot: a phase that
+    never returns (hung remote compile / dead tunnel mid-run).  Exits 0 — a
+    degraded number beats rc=124 with nothing (BENCH_r03.json)."""
+    if _FINAL_PRINTED.wait(timeout=max(1.0, _BUDGET_S - _elapsed())):
+        return
+    with _LOCK:
+        out = dict(_SNAPSHOT)
+    out["provisional"] = True
+    out["budget_exceeded"] = True
+    out["elapsed_s"] = round(_elapsed(), 1)
+    if out.get("value", 0.0) == 0.0:
+        out["error"] = f"budget {_BUDGET_S:.0f}s expired in phase {out.get('phase')!r} before any timed trial"
+    print(json.dumps(out), flush=True)
+    os._exit(0)
 
 
 def main():
@@ -54,22 +136,66 @@ def main():
         help="serving wire format: pcm16 (default, the cross-round headline protocol) or "
         "mulaw (8-bit G.711-style companding, half the drain bytes — dsp/mulaw.py)",
     )
+    parser.add_argument(
+        "--tiny", action="store_true", help="test-size configs for a CPU smoke run (timings meaningless)"
+    )
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the host sitecustomize pins jax_platforms='axon,cpu'; "
+        "env JAX_PLATFORMS alone does not stick — tests/conftest.py)",
+    )
     args = parser.parse_args()
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     # Backend reachability probe: when the tunneled TPU is down, jax.devices()
     # blocks forever inside backend init — a hung bench is worse than a failed
     # one (core/backend.py; observed 2026-08-17 multi-hour tunnel outage).
+    _heartbeat("backend_init")
     from speech_resynth_tpu.core.backend import require_backend
 
-    require_backend(240, metric="resynthesis_rtf", unit="x_realtime")
+    require_backend(min(240.0, max(30.0, _remaining() - 30.0)), metric="resynthesis_rtf", unit="x_realtime")
 
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
     from speech_resynth_tpu.models.cfm import CFMConfig
     from speech_resynth_tpu.models.composite import ConditionalFlowMatchingWithHifiGan
 
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     if args.pretrained:
         decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(args.pretrained, policy=BF16_INFERENCE)
+    elif args.tiny:
+        from speech_resynth_tpu.models.hifigan import HifiGanConfig
+
+        cfm = CFMConfig(
+            vocab_size=2000,
+            dim_in=8,
+            dim_cond_emb=12,
+            hidden_size=16,
+            depth=2,
+            heads=2,
+            intermediate_size=24,
+            conv_pos_embed_kernel_size=7,
+            conv_pos_embed_groups=16,
+        )
+        voc = HifiGanConfig(
+            model_in_dim=8,
+            upsample_initial_channel=16,
+            upsample_rates=(5, 4),
+            upsample_kernel_sizes=(10, 8),
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        )
+        decoder = ConditionalFlowMatchingWithHifiGan.from_config(cfm, voc, policy=BF16_INFERENCE)
     else:
         decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
 
@@ -86,19 +212,9 @@ def main():
     # warmup/compile; NOTE: on the tunneled 'axon' platform
     # block_until_ready does not actually synchronize — timing is based on
     # host materialization (device_get) of every output byte.
+    _heartbeat("warmup_compile")
     wav, lengths = run(jax.random.key(0))
     np.asarray(wav)
-
-    # FLOPs of one synthesize program (post-warmup, so the AOT compile is a
-    # cache hit; 0 if the backend exposes no cost analysis)
-    try:
-        flops = compiled_flops(
-            decoder._synth.lower(
-                ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=pcm16, mulaw=mulaw
-            ).compile()
-        )
-    except Exception:
-        flops = 0.0
 
     # steady-state serving throughput: enqueue all batches (async dispatch),
     # then drain each output fully to the host; wall time covers the last
@@ -118,19 +234,46 @@ def main():
     iters = args.iters
     audio_seconds = None
     times = []
+
+    def result_now(extra: dict | None = None) -> dict:
+        elapsed = statistics.median(times)
+        rtf = audio_seconds / elapsed
+        out = {
+            "metric": "audio_sec_synthesized_per_sec_per_chip",
+            "value": round(rtf, 2),
+            "unit": "x realtime",
+            "vs_baseline": round(rtf / 50.0, 3),
+            "trials": len(times),
+            "rtf_min": round(audio_seconds / max(times), 2),
+            "rtf_max": round(audio_seconds / min(times), 2),
+            "units_per_sec": round(iters * batch * units_per_seq / elapsed, 1),
+            "batch": batch,
+            "units": units_per_seq,
+            "weights": "pretrained" if args.pretrained else "random",
+            "wire": args.wire,
+        }
+        if extra:
+            out.update(extra)
+        return out
+
+    extras: dict = {}
     with ThreadPoolExecutor(4) as pool:
         for t in range(max(1, args.trials)):
+            # degrade: stop adding trials when the budget nears — one trial is
+            # already a valid (if noisier) headline, and its line is printed
+            if times and _remaining() < 60.0:
+                _heartbeat(f"skip_trials_{t}_onward(budget)")
+                break
+            _heartbeat(f"trial_{t}")
             start = time.perf_counter()
             outs = [run(jax.random.key(t * iters + i + 1)) for i in range(iters)]
             list(pool.map(lambda o: np.asarray(o[0]), outs))
             times.append(time.perf_counter() - start)
             if audio_seconds is None:
                 audio_seconds = iters * float(jnp.sum(outs[-1][1])) / 16000.0
+            _emit(result_now({"phase": f"after_trial_{t}"}), provisional=True)
     if args.profile:
         stop_profiler_trace()
-
-    elapsed = statistics.median(times)
-    rtf = audio_seconds / elapsed
 
     # compute-only RTF: dispatch all, sync via a 1-element slice of the LAST
     # output (stream ordering => every program finished; ~4 bytes cross the
@@ -141,45 +284,59 @@ def main():
     # with tunnel congestion — see PARITY.md bench methodology.
     ctimes = []
     for t in range(max(1, args.trials)):
+        if _remaining() < 60.0 or (ctimes and _remaining() < 90.0):
+            _heartbeat(f"skip_compute_trials_{t}_onward(budget)")
+            break
+        _heartbeat(f"compute_trial_{t}")
         start = time.perf_counter()
         outs = [run(jax.random.key(1000 + t * iters + i)) for i in range(iters)]
         np.asarray(outs[-1][0][0, :1])
         ctimes.append(time.perf_counter() - start)
-    compute_rtf = audio_seconds / statistics.median(ctimes)
+    if ctimes:
+        extras["compute_rtf"] = round(audio_seconds / statistics.median(ctimes), 2)
+        _emit(result_now({**extras, "phase": "after_compute_trials"}), provisional=True)
 
     # tunnel D2H bandwidth probe: re-materialize fresh copies of one wav
     # batch (a jitted +1 makes a new device array each time; np.asarray
     # caches host copies on the SAME array, so fresh arrays are required)
-    bump = jax.jit(lambda x: x + 1)
-    np.asarray(bump(wav))
-    wav_bytes = wav.size * wav.dtype.itemsize
-    t0 = time.perf_counter()
-    arrs = [bump(wav) for _ in range(8)]
-    for a in arrs:
-        np.asarray(a)
-    d2h_mbps = 8 * wav_bytes / 1e6 / (time.perf_counter() - t0)
+    if _remaining() > 45.0:
+        _heartbeat("d2h_probe")
+        bump = jax.jit(lambda x: x + 1)
+        np.asarray(bump(wav))
+        wav_bytes = wav.size * wav.dtype.itemsize
+        t0 = time.perf_counter()
+        arrs = [bump(wav) for _ in range(8)]
+        for a in arrs:
+            np.asarray(a)
+        extras["d2h_mbps"] = round(8 * wav_bytes / 1e6 / (time.perf_counter() - t0), 1)
+        _emit(result_now({**extras, "phase": "after_d2h"}), provisional=True)
+    else:
+        _heartbeat("skip_d2h_probe(budget)")
 
-    peak = device_peak_flops()
-    result = {
-        "metric": "audio_sec_synthesized_per_sec_per_chip",
-        "value": round(rtf, 2),
-        "unit": "x realtime",
-        "vs_baseline": round(rtf / 50.0, 3),
-        "trials": len(times),
-        "rtf_min": round(audio_seconds / max(times), 2),
-        "rtf_max": round(audio_seconds / min(times), 2),
-        "units_per_sec": round(iters * batch * units_per_seq / elapsed, 1),
-        "batch": batch,
-        "units": units_per_seq,
-        "compute_rtf": round(compute_rtf, 2),
-        "d2h_mbps": round(d2h_mbps, 1),
-        "weights": "pretrained" if args.pretrained else "random",
-        "wire": args.wire,
-    }
-    if flops > 0 and peak > 0:
-        result["mfu"] = round(flops * iters / (elapsed * peak), 4)
-        result["mfu_compute"] = round(flops * iters / (statistics.median(ctimes) * peak), 4)
-    print(json.dumps(result))
+    # FLOPs of one synthesize program for MFU: a second AOT lower().compile()
+    # — normally a cache hit post-warmup, but through the tunnel it has
+    # nonzero cost, so it is the FIRST phase dropped under budget pressure.
+    if _remaining() > 45.0:
+        _heartbeat("mfu_lowering")
+        try:
+            flops = compiled_flops(
+                decoder._synth.lower(
+                    ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=pcm16, mulaw=mulaw
+                ).compile()
+            )
+        except Exception:
+            flops = 0.0
+        peak = device_peak_flops()
+        if flops > 0 and peak > 0:
+            elapsed = statistics.median(times)
+            extras["mfu"] = round(flops * iters / (elapsed * peak), 4)
+            if ctimes:
+                extras["mfu_compute"] = round(flops * iters / (statistics.median(ctimes) * peak), 4)
+    else:
+        _heartbeat("skip_mfu_lowering(budget)")
+
+    extras["bench_wall_s"] = round(_elapsed(), 1)
+    _emit(result_now(extras), provisional=False)
 
 
 if __name__ == "__main__":

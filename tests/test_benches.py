@@ -64,6 +64,48 @@ def test_bench_streaming_smoke():
 
 
 @pytest.mark.slow
+def test_headline_bench_smoke():
+    """bench.py (the driver-run headline) must emit a provisional JSON line
+    after EVERY completed phase and a final non-provisional line — the r03
+    driver run timed out with parsed=null because nothing was printed until
+    the very end (BENCH_r03.json: rc=124)."""
+    rows = _run_bench("bench.py")
+    assert len(rows) >= 3, rows  # after_trial_0, after_compute/d2h, final
+    final = rows[-1]
+    assert "provisional" not in final and final["value"] > 0
+    assert final["bench_wall_s"] > 0 and final["trials"] >= 1
+    for row in rows[:-1]:
+        assert row["provisional"] is True and row["value"] > 0
+        assert row["metric"] == final["metric"]
+
+
+@pytest.mark.slow
+def test_headline_bench_budget_watchdog():
+    """With an impossibly small budget, the watchdog must still exit 0 with a
+    parseable JSON line naming the in-flight phase (never rc=124/no output)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env["BENCH_BUDGET_S"] = "6"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--cpu", "--tiny", "--batch", "2", "--units", "8",
+         "--iters", "1", "--trials", "1"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(line) for line in out.stdout.splitlines() if line.startswith("{")]
+    assert rows, out.stdout[-2000:]
+    last = rows[-1]
+    # either the watchdog fired (budget_exceeded + phase) or the run was so
+    # fast it legitimately finished under budget — both leave a JSON record
+    assert last.get("budget_exceeded") or "bench_wall_s" in last, last
+    assert "[bench] t=+" in out.stderr  # heartbeats present for diagnosis
+
+
+@pytest.mark.slow
 def test_bench_fold_ab_smoke():
     # fold_ab takes --frames (not --units) and prints a text table + "best:"
     env = dict(os.environ)
