@@ -1,4 +1,7 @@
-"""Exact streaming vocoder: chunked mel -> waveform, byte-equal to batch.
+"""Exact streaming vocoder: chunked mel -> waveform, sample-for-sample equal
+to the monolithic batch apply (up to floating-point accumulation order — the
+window-shaped and full-shaped compiled programs may fuse differently; the f32
+CPU tests lock bitwise equality, the int16 wire test tolerates ±1 LSB).
 
 Beyond-reference serving capability.  The reference synthesizes whole
 utterances only (/root/reference/src/flow_matching/models.py:223-256 runs the
@@ -7,22 +10,32 @@ length.  The HiFi-GAN stack is a finite-receptive-field convnet, which makes
 exact incremental synthesis possible: feed overlapping mel windows, keep only
 the output samples whose receptive field lies entirely inside the window, and
 pin the first/last windows to the true utterance edges so the layers' own
-zero padding matches the monolithic run.  The concatenated stream is then
-EXACTLY the full-utterance waveform — no crossfades, no approximation
+zero padding matches the monolithic run.  No crossfades, no approximation
 (tests/test_streaming.py locks equality against ``HifiGanGenerator.apply``).
 
 The context size is derived analytically from the config
 (``receptive_field_samples``): a conservative per-layer walk of contamination
 radii.  For the production vocoder (hop 320, rates 5/4/4/2/2, MRF k<=11
-d<=5) it comes to ~7k samples = 22 mel frames of context per side, so with
-``chunk_frames=50`` (1 s of audio) each window is 94 frames and first audio
-leaves the device after ~72 frames of mel instead of after the whole
-utterance.
+d<=5) it comes to ~7k samples = 22 mel frames of context per side.
 
-TPU notes: one window shape -> one compiled program for the entire stream
-(static shapes; XLA compiles the window fn once).  On chip the window runs
-through the fused/folded Pallas MRF path (``generator_apply_fused``), same
-dispatch as batch synthesis.
+Window shapes (static — each is ONE compiled program shared by every stream):
+
+* first window, ``chunk + ctx`` frames, pinned to the true left edge: emits
+  the first ``chunk`` frames of audio as soon as ``chunk + ctx`` mel frames
+  (72 at chunk 50 / ctx 22, ~1.44 s of mel) have arrived — the left context
+  is the edge itself, so only right context is needed;
+* interior window, ``chunk + 2*ctx`` frames (94): the steady-state shape.
+  While the stream is still within ``ctx`` of the left edge (only possible
+  when ``chunk < ctx``), a left-pinned interior window emits EVERY ready
+  frame in one call rather than re-running the same window per chunk.
+
+The mel buffer is bounded: frames more than one window behind the emission
+frontier can never be needed again (the flush tail window starts at
+``total - window >= emitted - window``) and are dropped, so memory is
+O(window), not O(utterance).
+
+TPU notes: on chip the window runs through the fused/folded Pallas MRF path
+(``generator_apply_fused``), same dispatch as batch synthesis.
 """
 
 from __future__ import annotations
@@ -97,7 +110,8 @@ def _window_fn(config: HifiGanConfig, fused: bool, wire: str, policy: Policy):
 
 
 class StreamingVocoder:
-    """Incremental mel -> waveform for ONE utterance, exact vs batch apply.
+    """Incremental mel -> waveform for ONE utterance, exact vs batch apply
+    (exactness caveat: floating-point accumulation order; see module doc).
 
     >>> sv = StreamingVocoder(variables, config)
     >>> for mel_chunk in frames:          # (t, model_in_dim) arrays
@@ -107,6 +121,9 @@ class StreamingVocoder:
     ``wire`` selects the device-side output conversion, mirroring
     ``CompositeModel.synthesize``: "f32" (default), "pcm16" (int16), or
     "mulaw" (uint8 G.711-style codes, dsp/mulaw.py) for wire-bound serving.
+
+    ``device_calls`` counts window invocations — serving telemetry, and the
+    efficiency contract under test (no window is ever run twice).
     """
 
     def __init__(
@@ -132,6 +149,10 @@ class StreamingVocoder:
         if self.chunk < 1:
             raise ValueError("chunk_frames must be >= 1")
         self.window = self.chunk + 2 * self.ctx
+        # left-pinned first window: the true edge IS the left context, so
+        # first audio needs only chunk+ctx frames (one extra static shape)
+        self.first_window = self.chunk + self.ctx
+        self.device_calls = 0
 
         if fused is None:
             fused = jax.default_backend() in ("tpu", "axon")
@@ -140,31 +161,46 @@ class StreamingVocoder:
         # program for EVERY utterance with this (config, wire, policy).
         self._fn = _window_fn(config, bool(fused), wire, policy)
         self._variables = variables
-        self._mel: List[np.ndarray] = []  # buffered frames, each (model_in_dim,)
+        self._mel: List[np.ndarray] = []  # retained frames [base, total)
+        self._base = 0  # absolute index of _mel[0] (earlier frames dropped)
         self._emitted = 0  # mel frames whose samples have been emitted
         self._finished = False
 
     # -- internals ----------------------------------------------------------
 
-    def _run_window(self, start: int) -> np.ndarray:
-        mel = np.stack(self._mel[start : start + self.window])[None].astype(np.float32)
+    def _total(self) -> int:
+        return self._base + len(self._mel)
+
+    def _run_window(self, start: int, length: int) -> np.ndarray:
+        i = start - self._base
+        assert i >= 0, "window reaches below the retained buffer"
+        mel = np.stack(self._mel[i : i + length])[None].astype(np.float32)
+        self.device_calls += 1
         return np.asarray(self._fn(self._variables, jnp.asarray(mel)))[0]
 
     def _drain_ready(self) -> List[np.ndarray]:
         out: List[np.ndarray] = []
-        # to emit frames [E, E+chunk) we need right context through E+chunk+ctx;
-        # additionally wait for a FULL window so every interior call has the one
-        # static shape (early windows start at frame 0, where the margin past
-        # the emit region is > ctx — harmless, still exact)
+        # a window [start, start+w) emits every frame in
+        # [emitted, start+w-ctx): right context through +ctx is in-window,
+        # and the left context is either in-window (start = emitted-ctx) or
+        # the true utterance edge (start = 0, zero padding == monolithic)
         while True:
-            start = max(0, self._emitted - self.ctx)
-            need = max(self._emitted + self.chunk + self.ctx, start + self.window)
-            if len(self._mel) < need:
+            if self._emitted == 0:
+                start, w = 0, self.first_window
+            else:
+                start, w = max(0, self._emitted - self.ctx), self.window
+            if self._total() < start + w:
                 break
-            wav = self._run_window(start)
+            wav = self._run_window(start, w)
             lo = (self._emitted - start) * self.hop
-            out.append(wav[lo : lo + self.chunk * self.hop])
-            self._emitted += self.chunk
+            out.append(wav[lo : (w - self.ctx) * self.hop])
+            self._emitted = start + w - self.ctx
+        # frames more than one window behind the frontier are dead: even the
+        # flush tail window starts at total-window >= emitted-window
+        keep_from = max(0, self._emitted - self.window)
+        if keep_from > self._base:
+            del self._mel[: keep_from - self._base]
+            self._base = keep_from
         return out
 
     # -- public -------------------------------------------------------------
@@ -184,22 +220,22 @@ class StreamingVocoder:
     def flush(self) -> np.ndarray:
         """Emit the tail (the frames held back for right context) and finish.
         After this, the concatenation of every push()/flush() return equals
-        the monolithic ``generator.apply`` output exactly."""
+        the monolithic ``generator.apply`` output (module-doc exactness)."""
         if self._finished:
             raise RuntimeError("stream already flushed")
         self._finished = True
-        total = len(self._mel)
+        total = self._total()
         if total == 0:
             return np.zeros((0,), self._out_dtype)
         full_len = (total - 1) * self.hop + self.extra
         if total <= self.window:
             # short stream: one full pass at the stream's own length — both
-            # edges are true (same shared jit cache, keyed by shape)
-            mel = np.stack(self._mel)[None].astype(np.float32)
-            wav = np.asarray(self._fn(self._variables, jnp.asarray(mel)))[0]
+            # edges are true (same shared jit cache, keyed by shape); the
+            # buffer is intact (keep_from = emitted-window <= total-window <= 0)
+            wav = self._run_window(0, total)
             return wav[self._emitted * self.hop : full_len]
         start = total - self.window  # right edge == true end: tail padding matches
-        wav = self._run_window(start)
+        wav = self._run_window(start, self.window)
         lo = (self._emitted - start) * self.hop
         return wav[lo : full_len - start * self.hop]
 

