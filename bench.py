@@ -162,6 +162,9 @@ def main():
 
     require_backend(min(240.0, max(30.0, _remaining() - 30.0)), metric="resynthesis_rtf", unit="x_realtime")
 
+    # startup dominates the bench's cold cost (r04 measurement: 344 s to
+    # here+model-init vs 28 s for all ten trials) — heartbeat the stages
+    _heartbeat("imports")
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
     from speech_resynth_tpu.models.cfm import CFMConfig
@@ -171,6 +174,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    _heartbeat("model_init")
     if args.pretrained:
         decoder = ConditionalFlowMatchingWithHifiGan.from_pretrained(args.pretrained, policy=BF16_INFERENCE)
     elif args.tiny:
