@@ -85,6 +85,29 @@ def main():
         np.asarray(sample_decode(model, variables, prompt, **samp_kw))
     sample_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
 
+    # prompt-lookup speculative greedy (models/llama.py:lookup_decode): one
+    # verify block per iteration amortizes the per-step HBM weight sweep.
+    # Case (a) random prompt = acceptance ~0 -> measures the pure overhead of
+    # the S extra verify columns; case (b) self-continuation prompt (greedy
+    # output fed back, which cycles for degenerate streams the way unit/BPE
+    # text repeats) -> measures the win at real acceptance, with the measured
+    # tokens/iteration alongside so the number explains itself.
+    from speech_resynth_tpu.models.llama import lookup_decode
+
+    lk = dict(max_new_tokens=96, eos_token_id=cfg.eos_token_id, ngram=2, spec_tokens=7)
+    np.asarray(lookup_decode(model, variables, prompt, **lk))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, stats_rand = lookup_decode(model, variables, prompt, return_stats=True, **lk)
+    lookup_rand_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
+
+    cyc_prompt = greedy_decode(model, variables, prompt[:, :16], max_new_tokens=16)
+    np.asarray(lookup_decode(model, variables, cyc_prompt, **lk))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, stats_cyc = lookup_decode(model, variables, cyc_prompt, return_stats=True, **lk)
+    lookup_cyc_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -93,6 +116,10 @@ def main():
                 "unit": "tokens/s",
                 "decode_tokens_per_sec": round(decode_tps, 0),
                 "sample_decode_tokens_per_sec": round(sample_tps, 0),
+                "lookup_decode_random_tokens_per_sec": round(lookup_rand_tps, 0),
+                "lookup_decode_random_tok_per_iter": stats_rand["tokens_per_iteration"],
+                "lookup_decode_cyclic_tokens_per_sec": round(lookup_cyc_tps, 0),
+                "lookup_decode_cyclic_tok_per_iter": stats_cyc["tokens_per_iteration"],
                 "scan_layers_tokens_per_sec": round(scan_tps, 0),
                 "compile_s_unrolled": round(unrolled_compile_s, 1),
                 "compile_s_scan_layers": round(scan_compile_s, 1),

@@ -11,7 +11,15 @@ from .hifigan import (
 )
 from .hubert import HubertConfig, HubertEncoder
 from .kmeans import KMeansQuantizer, kmeans_fit
-from .llama import LlamaConfig, LlamaLM, causal_lm_loss, greedy_decode, sample_decode, sequence_pseudo_log_prob
+from .llama import (
+    LlamaConfig,
+    LlamaLM,
+    causal_lm_loss,
+    greedy_decode,
+    lookup_decode,
+    sample_decode,
+    sequence_pseudo_log_prob,
+)
 from .speech_encoder import SpeechEncoder, embedding, load_encoder
 
 __all__ = [
@@ -33,6 +41,7 @@ __all__ = [
     "LlamaLM",
     "causal_lm_loss",
     "greedy_decode",
+    "lookup_decode",
     "sample_decode",
     "sequence_pseudo_log_prob",
     "SpeechEncoder",

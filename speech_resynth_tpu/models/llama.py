@@ -323,6 +323,136 @@ def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_toke
     return _greedy_decode_impl(model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _lookup_decode_impl(
+    model: "LlamaLM",
+    variables,
+    prompt_ids,
+    max_new_tokens: int,
+    eos_token_id: int,
+    ngram: int,
+    spec_tokens: int,
+):
+    """Prompt-lookup speculative greedy decode (exact greedy equivalence).
+
+    Each device iteration verifies a block of ``1 + spec_tokens`` tokens in
+    ONE forward pass: the last committed token plus S draft tokens proposed
+    by matching the most recent ``ngram`` against earlier context (the
+    "prompt lookup" heuristic — unit/BPE streams repeat).  Every verified
+    position's argmax is compared against its draft; the longest accepted
+    prefix (+1 for the always-valid first position) commits at once.  Per
+    iteration the whole weight tree is read from HBM exactly once — the
+    single-token decode's dominant cost — so acceptance rate a gives ~(1+a)x
+    tokens per HBM sweep; at a=0 it degrades to ~greedy speed (the extra S
+    verify columns ride the same weight reads).
+
+    Rows advance in lockstep (the commit length is the MIN acceptance across
+    the batch): the KV cache keeps one scalar write index, and stale cache
+    entries past the committed frontier are overwritten by the next block
+    before any query can attend to them (next write starts exactly at the
+    frontier and spans the full block).  Returns (ids, n_generated, iters).
+    """
+    b, p = prompt_ids.shape
+    S = int(spec_tokens)
+    total = p + max_new_tokens
+    cap = total + S + 1  # a commit block may overshoot max_new; sliced off below
+    eos = jnp.asarray(eos_token_id, prompt_ids.dtype)
+    cache = model.init_cache(b, cap)
+
+    buf = jnp.zeros((b, cap), prompt_ids.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0, 0))
+
+    logits, cache = model.apply(variables, prompt_ids, cache=cache, cache_index=jnp.asarray(0))
+    t0 = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(prompt_ids.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, t0[:, None], (0, p))
+    done = t0 == eos_token_id
+
+    W = cap - ngram + 1  # candidate window starts for the n-gram match
+
+    def propose(buf, n):
+        """(b, S) draft tokens: continuation of the LAST earlier occurrence
+        of the trailing ngram; falls back to repeating the last token."""
+        ctx = jax.lax.dynamic_slice(buf, (0, jnp.maximum(p + n - ngram, 0)), (b, ngram))
+        match = jnp.ones((b, W), bool)
+        for g in range(ngram):
+            match &= buf[:, g : g + W] == ctx[:, g : g + 1]
+        t_idx = jnp.arange(W)
+        # strictly before the trailing occurrence itself; windows past the
+        # committed frontier hold stale/zero bytes and are excluded
+        valid = match & (t_idx[None, :] < (p + n - ngram))
+        m = jnp.max(jnp.where(valid, t_idx[None, :], -1), axis=-1)  # (b,)
+        start = jnp.where(m >= 0, m + ngram, jnp.maximum(p + n - 1, 0))
+        idx = jnp.clip(start[:, None] + jnp.arange(S)[None, :], 0, cap - 1)
+        return jnp.take_along_axis(buf, idx, axis=1)
+
+    def cond(carry):
+        _, _, n, done, _ = carry
+        return (n < max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        buf, cache, n, done, it = carry
+        cur = jax.lax.dynamic_slice(buf, (0, p + n - 1), (b, 1))
+        drafts = propose(buf, n)  # (b, S)
+        x = jnp.concatenate([cur, drafts], axis=1)  # (b, 1+S)
+        logits, cache = model.apply(variables, x, cache=cache, cache_index=p + n - 1)
+        v = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(buf.dtype)  # (b, 1+S)
+
+        # force eos from the first committed eos onward (and for done rows)
+        eos_hit = v == eos
+        prior_eos = jnp.cumsum(eos_hit, axis=1) - eos_hit.astype(jnp.int32) > 0
+        forced = done[:, None] | prior_eos
+        out = jnp.where(forced, eos, v)
+
+        # acceptance: leading drafts that equal their verified token; done
+        # rows place no constraint (their whole block is forced eos)
+        ok = jnp.cumprod((drafts == out[:, :S]).astype(jnp.int32), axis=1)
+        acc_row = jnp.where(done, S, jnp.sum(ok, axis=1))
+        acc = jnp.min(acc_row)  # lockstep commit of acc+1 tokens
+
+        buf = jax.lax.dynamic_update_slice(buf, out, (0, p + n))
+        slot = jnp.arange(1 + S)
+        done = done | jnp.any((slot[None, :] <= acc) & (out == eos), axis=1)
+        return buf, cache, n + acc + 1, done, it + 1
+
+    buf, _, n, done, iters = jax.lax.while_loop(
+        cond, body, (buf, cache, jnp.asarray(1), done, jnp.asarray(0))
+    )
+    # all-done early exit leaves an uncommitted tail: greedy emits eos forever
+    buf = jnp.where(jnp.arange(cap)[None, :] >= p + n, eos, buf)
+    return buf[:, :total], n, iters
+
+
+def lookup_decode(
+    model: LlamaLM,
+    variables,
+    prompt_ids: jax.Array,
+    max_new_tokens: int,
+    eos_token_id: int = 1,
+    ngram: int = 2,
+    spec_tokens: int = 7,
+    return_stats: bool = False,
+):
+    """Prompt-lookup speculative greedy generation — bit-identical outputs to
+    ``greedy_decode`` (test-locked) in fewer sequential weight sweeps when
+    the stream repeats (unit/BPE text does).  One jitted program.
+
+    ``return_stats=True`` additionally returns
+    ``{"iterations", "generated", "tokens_per_iteration"}`` for acceptance
+    telemetry (benchmarks/bench_lm.py A/Bs this against greedy_decode).
+    """
+    ids, n, iters = _lookup_decode_impl(
+        model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id, ngram, spec_tokens
+    )
+    if not return_stats:
+        return ids
+    n, iters = int(n), int(iters)
+    return ids, {
+        "iterations": iters,
+        "generated": n,
+        "tokens_per_iteration": round(n / max(iters, 1), 3),
+    }
+
+
 def _filter_logits(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
     """HF-order logit filtering on (B, V) f32: top-k, then nucleus (top-p).
     Ties at either threshold are kept (same as HF's >= comparisons)."""

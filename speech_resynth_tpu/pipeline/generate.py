@@ -19,7 +19,7 @@ from typing import List, Optional, Sequence
 import jax
 import numpy as np
 
-from ..models.llama import LlamaLM, sample_decode
+from ..models.llama import LlamaLM, lookup_decode, sample_decode
 from ..text.units import unicode_to_units, units_to_unicode
 
 
@@ -51,8 +51,13 @@ def generate_unit_continuation(
         raise ValueError("prompt produced no BPE tokens (empty unit sequence?)")
     prompt = np.asarray([[t + num_special_tokens for t in bpe_ids]], np.int32)
 
-    seq = np.asarray(
-        sample_decode(
+    if temperature == 0.0:
+        # greedy requests take the prompt-lookup speculative path — bit-
+        # identical outputs (test-locked vs greedy_decode), fewer sequential
+        # HBM weight sweeps when the unit stream repeats
+        seq = lookup_decode(model, variables, prompt, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
+    else:
+        seq = sample_decode(
             model,
             variables,
             prompt,
@@ -63,7 +68,7 @@ def generate_unit_continuation(
             top_k=top_k,
             top_p=top_p,
         )
-    )[0, prompt.shape[1] :]
+    seq = np.asarray(seq)[0, prompt.shape[1] :]
 
     hits = np.where(seq == eos_token_id)[0]
     if hits.size:

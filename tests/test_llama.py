@@ -127,6 +127,50 @@ def test_greedy_decode_runs_and_stops(models):
     np.testing.assert_array_equal(np.asarray(seq[:, :3]), np.asarray(prompt))
 
 
+def test_lookup_decode_matches_greedy(models):
+    """Prompt-lookup speculative decode is bit-identical to greedy_decode
+    regardless of acceptance rate, ngram, or speculation depth."""
+    cfg, _, model, variables = models
+    prompts = [
+        jnp.asarray([[2, 3, 4], [5, 6, 7]]),
+        jnp.asarray([[8, 9, 10, 11, 12, 9, 10, 11]]),  # repeated ngram in prompt
+        jnp.asarray([[2]]),  # prompt shorter than the ngram
+    ]
+    for prompt in prompts:
+        ref = np.asarray(
+            L.greedy_decode(model, variables, prompt, max_new_tokens=16, eos_token_id=cfg.eos_token_id)
+        )
+        for ngram, spec in ((2, 7), (3, 4), (2, 1)):
+            got = np.asarray(
+                L.lookup_decode(
+                    model, variables, prompt, max_new_tokens=16,
+                    eos_token_id=cfg.eos_token_id, ngram=ngram, spec_tokens=spec,
+                )
+            )
+            np.testing.assert_array_equal(got, ref, err_msg=f"ngram={ngram} spec={spec}")
+
+
+def test_lookup_decode_accepts_on_cyclic_continuation(models):
+    """When greedy falls into a cycle (tiny random models do), the lookup
+    draft hits and multiple tokens commit per device iteration."""
+    cfg, _, model, variables = models
+    seed = jnp.asarray([[2, 3, 4]])
+    # use a greedy continuation as the prompt: its tail pattern continues,
+    # so the trailing ngram recurs in context and drafts verify
+    prompt = L.greedy_decode(model, variables, seed, max_new_tokens=24, eos_token_id=cfg.eos_token_id)
+    if np.asarray(prompt == cfg.eos_token_id).any():
+        pytest.skip("random weights hit EOS; no cycle to speculate on")
+    ref = np.asarray(
+        L.greedy_decode(model, variables, prompt, max_new_tokens=16, eos_token_id=cfg.eos_token_id)
+    )
+    ids, stats = L.lookup_decode(
+        model, variables, prompt, max_new_tokens=16, eos_token_id=cfg.eos_token_id, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(ids), ref)
+    assert stats["generated"] >= 16
+    assert stats["tokens_per_iteration"] > 1.0, stats
+
+
 def test_sample_decode_greedy_limits(models):
     """temperature=0 and top_k=1 both reduce sampling to greedy decoding."""
     cfg, _, model, variables = models
