@@ -20,16 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# (label, fold table, packing table) — packing {} means im2col everywhere
+# (label, fold table, packing table, stage fusion) — packing {} means im2col
+# everywhere.  Round-3 calibration kept fold3/im2col (taps lost, PARITY.md);
+# round 4 adds the whole-stage-fusion axis (ops/fused_mrf.py:MRF_STAGE_FUSION).
 CANDIDATES = [
-    ("unfolded", {}, {}),
-    ("f16:8", {16: 8}, {}),
-    ("f16:8,32:4", {16: 8, 32: 4}, {}),
-    ("f16:8,32:4,64:2", {16: 8, 32: 4, 64: 2}, {}),
-    ("f16:4,32:4", {16: 4, 32: 4}, {}),
-    ("fold3+taps16", {16: 8, 32: 4, 64: 2}, {16: "taps"}),
-    ("fold3+taps16,32", {16: 8, 32: 4, 64: 2}, {16: "taps", 32: "taps"}),
-    ("fold3+taps-all", {16: 8, 32: 4, 64: 2}, {16: "taps", 32: "taps", 64: "taps"}),
+    ("fold3", {16: 8, 32: 4, 64: 2}, {}, False),
+    ("fold3+stage", {16: 8, 32: 4, 64: 2}, {}, True),
+    ("unfolded+stage", {}, {}, True),
+    ("f16:8,32:4+stage", {16: 8, 32: 4}, {}, True),
+    ("f16:4,32:2+stage", {16: 4, 32: 2}, {}, True),
 ]
 
 
@@ -71,7 +70,7 @@ def main():
 
     print(f"backend: {jax.default_backend()}, batch {args.batch} x {args.frames} frames")
     results = {}
-    for label, table, pack in CANDIDATES:
+    for label, table, pack, stage in CANDIDATES:
         orig = dict(FM.MRF_FOLD_TABLE)
         orig_pack = dict(FM.MRF_PACK_TABLE)
         FM.MRF_FOLD_TABLE.clear()
@@ -79,17 +78,18 @@ def main():
         FM.MRF_PACK_TABLE.clear()
         FM.MRF_PACK_TABLE.update(pack)
         try:
-            fn = jax.jit(
-                lambda p, m: HG.generator_apply_fused(p, cfg, m, force_fused=args.cpu, interpret=args.cpu)
-            )
-            np.asarray(fn(params, mel)[0, :1])  # compile + sync
-            meds = []
-            for _ in range(args.trials):
-                t0 = time.perf_counter()
-                outs = [fn(params, mel) for _ in range(args.iters)]
-                for o in outs:
-                    np.asarray(o[0, :1])
-                meds.append((time.perf_counter() - t0) / args.iters)
+            with FM.mrf_stage_fusion(stage):
+                fn = jax.jit(
+                    lambda p, m: HG.generator_apply_fused(p, cfg, m, force_fused=args.cpu, interpret=args.cpu)
+                )
+                np.asarray(fn(params, mel)[0, :1])  # compile + sync
+                meds = []
+                for _ in range(args.trials):
+                    t0 = time.perf_counter()
+                    outs = [fn(params, mel) for _ in range(args.iters)]
+                    for o in outs:
+                        np.asarray(o[0, :1])
+                    meds.append((time.perf_counter() - t0) / args.iters)
             med = statistics.median(meds)
             results[label] = med
             print(f"{label:20s} {med * 1e3:8.2f} ms  (min {min(meds) * 1e3:.2f}, max {max(meds) * 1e3:.2f})", flush=True)

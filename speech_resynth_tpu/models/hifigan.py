@@ -330,13 +330,16 @@ def generator_apply_fused(
     MRF_FOLD_TABLE otherwise): narrow stages fold `fold` time-phases into
     the MXU's output rows so the matmuls stop being C/128 row-starved.
     """
+    from ..ops import fused_mrf as FM
     from ..ops.fused_mrf import (
         fold_time,
         fused_branch_fits,
+        fused_stage_fits,
         mrf_branch_pallas,
         mrf_branch_reference,
         mrf_fold_for_channels,
         mrf_packing_for_channels,
+        mrf_stage_pallas,
         unfold_time,
     )
 
@@ -377,16 +380,50 @@ def generator_apply_fused(
         fold = mrf_fold if mrf_fold is not None else mrf_fold_for_channels(channels)
         branch_cfgs = list(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes))
         use_fold = fold > 1 and all(_eligible(rk, rd, fold) for rk, rd in branch_cfgs)
-        x_in = fold_time(x, fold) if use_fold else x
 
-        res = None
-        for j, (rk, rd) in enumerate(branch_cfgs):
+        def _branch_params(j, rd):
             bp = params[f"resblocks_{i * num_kernels + j}"]
             n_pairs = len(rd)
             w1 = jnp.stack([bp[f"convs1_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
             b1 = jnp.stack([bp[f"convs1_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
             w2 = jnp.stack([bp[f"convs2_{p}"]["kernel"] for p in range(n_pairs)]).astype(cd)
             b2 = jnp.stack([bp[f"convs2_{p}"]["bias"] for p in range(n_pairs)]).astype(cd)
+            return w1, b1, w2, b2
+
+        # whole-stage fusion: every branch + the /num_kernels mean in one
+        # kernel — one HBM read/write of the stage activation instead of
+        # 3+4.  Measured NEUTRAL in the whole-vocoder A/B (the folded narrow
+        # stages are not HBM-bound), so MRF_STAGE_FUSION ships False; the
+        # gate stays for re-measurement (ops/fused_mrf.py, PARITY.md r4).
+        stage_shapes = [(rk, tuple(rd)) for rk, rd in branch_cfgs]
+        use_stage = (
+            FM.MRF_STAGE_FUSION
+            and use_pallas_backend
+            and channels <= 64
+            and all(rk % 2 == 1 for rk, _ in branch_cfgs)
+            and fused_stage_fits(channels, stage_shapes, x.dtype.itemsize, fold=fold if use_fold else 1)
+        )
+        if use_stage:
+            branches = [(*_branch_params(j, rd), tuple(rd)) for j, (rk, rd) in enumerate(branch_cfgs)]
+            if use_fold:
+                x = unfold_time(
+                    mrf_stage_pallas(
+                        fold_time(x, fold), branches, cfg.leaky_relu_slope,
+                        interpret=interpret, fold=fold, prefolded_len=seq_len,
+                    ),
+                    fold,
+                    seq_len,
+                )
+            else:
+                x = mrf_stage_pallas(x, branches, cfg.leaky_relu_slope, interpret=interpret)
+            if truncate == ("mrf", i):
+                return x
+            continue
+
+        x_in = fold_time(x, fold) if use_fold else x
+        res = None
+        for j, (rk, rd) in enumerate(branch_cfgs):
+            w1, b1, w2, b2 = _branch_params(j, rd)
             if use_fold:
                 out = mrf_branch_pallas(
                     x_in,

@@ -36,6 +36,7 @@ HifiGanResidualBlock torch graph).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Sequence, Tuple
 
@@ -61,6 +62,29 @@ MRF_FOLD_TABLE = {16: 8, 32: 4, 64: 2}
 # buffer — more padded FLOPs but ZERO im2col copies (the VPU cost that
 # dominates the narrow stages once folding fills the output rows).
 MRF_PACK_TABLE: dict = {}
+
+# Whole-stage fusion (all branches + mean in ONE kernel, _mrf_stage_kernel):
+# shares the input HBM read / f32 conversion / edge masks across branches
+# and writes only the divided sum.  In-context whole-vocoder A/B on v5e
+# (benchmarks/bench_fold_ab.py, 2026-08-19): fold3+stage 70.56 ms vs
+# per-branch fold3 70.53 ms — NEUTRAL, because the folded narrow stages are
+# not HBM-bound (per-stage roofline, PARITY.md round 4); their residual cost
+# is in-VMEM im2col copies and fold-padded matmul columns, which fusion
+# cannot remove.  Ships OFF (per-branch path keeps production mileage); the
+# kernel + this gate stay for re-measurement on future hardware.
+MRF_STAGE_FUSION: bool = False
+
+
+@contextlib.contextmanager
+def mrf_stage_fusion(enabled: bool):
+    """Force whole-stage fusion on/off while active — trace-time decision,
+    same discipline as upsample_implementation (enter BEFORE jitting)."""
+    global MRF_STAGE_FUSION
+    prev, MRF_STAGE_FUSION = MRF_STAGE_FUSION, enabled
+    try:
+        yield
+    finally:
+        MRF_STAGE_FUSION = prev
 
 
 def mrf_fold_for_channels(channels: int) -> int:
@@ -309,6 +333,107 @@ def _mrf_kernel(
     o_ref[0] = x_buf[:, pl.ds(halo_f, t_blk)].astype(o_ref.dtype)
 
 
+def _mrf_stage_kernel(
+    x_ref,  # (1, P*C, W) folded input incl. the max branch halo
+    *rest,  # per branch: n_pairs w1, n_pairs w2, b1, b2; then out + scratch
+    branch_metas,
+    n_pairs_list,
+    fold: int,
+    chans: int,
+    halo_f_max: int,
+    halo_f_list,
+    t_blk: int,
+    width: int,
+    slope: float,
+    seq_len: int,
+):
+    """Whole-MRF-stage kernel: ALL branches of one stage + their mean.
+
+    The round-4 per-stage roofline (PARITY.md) showed the three narrow fused
+    stages 3-5x off both chip roofs while the per-branch kernel re-reads the
+    stage input from HBM, re-converts it to f32, re-computes the edge masks,
+    and writes each branch output back to HBM for an XLA sum.  Fusing the
+    branches shares ONE input read / f32 conversion / mask per block and
+    writes only the divided sum: per stage the HBM traffic drops from
+    3 reads + 4 writes of the activation to 1 + 1 (plus the fold/unfold
+    transposes either way).  Branch chains with different receptive fields
+    start at per-branch offsets inside the shared (max-halo) window and all
+    land on the same [halo_f_max, halo_f_max + t_blk) output columns.
+    """
+    idx = 0
+    branch_refs = []
+    for n_pairs in n_pairs_list:
+        w1_refs = rest[idx : idx + n_pairs]
+        w2_refs = rest[idx + n_pairs : idx + 2 * n_pairs]
+        b1_ref, b2_ref = rest[idx + 2 * n_pairs], rest[idx + 2 * n_pairs + 1]
+        idx += 2 * n_pairs + 2
+        branch_refs.append((w1_refs, w2_refs, b1_ref, b2_ref))
+    o_ref = rest[idx]
+    x_buf, work, h_buf, acc_buf, im_buf = rest[idx + 1 :]
+    op_dtype = im_buf.dtype
+
+    P, C = fold, chans
+    PC = P * C
+    x_buf[...] = x_ref[0].astype(jnp.float32)
+    base = pl.program_id(1) * t_blk - halo_f_max
+
+    def masked(vals, start_col: int, w: int):
+        cols = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        if P == 1:
+            g = cols
+        else:
+            g = cols * P + jax.lax.broadcasted_iota(jnp.int32, (PC, w), 0) // C
+        return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
+
+    def conv(act, w_ref, used_s, fpad, o_w):
+        for k, s in enumerate(used_s):
+            q, r = divmod(s, P)
+            c0 = fpad + q
+            im_buf[k * C : (k + 1) * C, pl.ds(0, o_w)] = act[r * C : (r + 1) * C, c0 : c0 + o_w]
+        return jax.lax.dot_general(
+            w_ref[...],
+            im_buf[pl.ds(0, len(used_s) * C), pl.ds(0, o_w)],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for br, (w1_refs, w2_refs, b1_ref, b2_ref) in enumerate(branch_refs):
+        metas = branch_metas[br]
+        work[...] = x_buf[...]
+        offset = halo_f_max - halo_f_list[br]
+        for j in range(n_pairs_list[br]):
+            used1, fpad1, used2, fpad2 = metas[j]
+            in_w = width - 2 * offset
+            mid_w = in_w - 2 * fpad1
+            out_w = mid_w - 2 * fpad2
+
+            xin = work[:, pl.ds(offset, in_w)]
+            act = jnp.where(xin > 0, xin, xin * slope)
+            act = masked(act, offset, in_w).astype(op_dtype)
+            acc = conv(act, w1_refs[j], used1, fpad1, mid_w)
+            acc += b1_ref[j].astype(jnp.float32)
+            h_buf[:, pl.ds(0, mid_w)] = acc
+
+            hmid = h_buf[:, pl.ds(0, mid_w)]
+            act2 = jnp.where(hmid > 0, hmid, hmid * slope)
+            act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
+            acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w)
+            acc2 += b2_ref[j].astype(jnp.float32)
+
+            new_offset = offset + fpad1 + fpad2
+            res = work[:, pl.ds(new_offset, out_w)]
+            work[:, pl.ds(new_offset, out_w)] = res + acc2
+            offset = new_offset
+
+        out_cols = work[:, pl.ds(halo_f_max, t_blk)]
+        if br == 0:
+            acc_buf[...] = out_cols
+        else:
+            acc_buf[...] = acc_buf[...] + out_cols
+
+    o_ref[0] = (acc_buf[...] * (1.0 / len(branch_refs))).astype(o_ref.dtype)
+
+
 VMEM_BUDGET = 12 * 2**20  # conservative slice of the ~16 MB per-core VMEM
 
 
@@ -477,6 +602,158 @@ def mrf_branch_pallas(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(x_pad, *w1f, *w2f, b1f, b2f)
+
+    y = out[:, :, :t_f]
+    if prefolded_len is not None:
+        return y
+    return unfold_time(y, P, T) if P > 1 else jnp.swapaxes(y, 1, 2)[:, :T]
+
+
+# ---------------------------------------------------------------------------
+# whole-stage fusion: all MRF branches + their mean in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _stage_vmem_bytes(C: int, width: int, t_blk: int, itemsize: int, fold: int, branch_geoms) -> int:
+    PC = C * fold
+    weights = 0
+    max_ns = 0
+    for _, _, ns_list, n_pairs in branch_geoms:
+        weights += sum(ns * C * PC for ns in ns_list) * itemsize + 2 * n_pairs * PC * 4
+        max_ns = max(max_ns, max(ns_list))
+    scratch = 3 * PC * width * 4 + PC * t_blk * 4  # x_buf + work + h_buf (f32) + acc
+    scratch += max_ns * C * width * itemsize  # shared im2col buffer
+    blocks = 2 * PC * width * itemsize + 2 * PC * t_blk * itemsize
+    return weights + scratch + blocks
+
+
+def _stage_geoms(branch_shapes, fold: int):
+    """branch_shapes: sequence of (K, dilations) -> per-branch
+    (metas, halo_f, ns_list, n_pairs)."""
+    geoms = []
+    for K, dilations in branch_shapes:
+        metas, halo_f, ns_list = _geometry(K, tuple(dilations), fold, "im2col")
+        geoms.append((metas, halo_f, ns_list, len(dilations)))
+    return geoms
+
+
+def pick_stage_t_blk(C: int, branch_shapes, itemsize: int, fold: int = 1) -> int:
+    geoms = _stage_geoms(branch_shapes, fold)
+    halo_f_max = max(g[1] for g in geoms)
+    for t_blk in (1024, 768, 512, 384, 256, 128):
+        width = -(-(t_blk + 2 * halo_f_max) // 128) * 128
+        if _stage_vmem_bytes(C, width, t_blk, itemsize, fold, geoms) <= VMEM_BUDGET:
+            return t_blk
+    return 0
+
+
+def fused_stage_fits(C: int, branch_shapes, itemsize: int = 2, fold: int = 1) -> bool:
+    return pick_stage_t_blk(C, branch_shapes, itemsize, fold=fold) > 0
+
+
+def mrf_stage_pallas(
+    x: jax.Array,  # (B, T, C) NWC, or folded (B, fold*C, T_f) when prefolded_len is given
+    branches,  # sequence of (w1, b1, w2, b2, dilations); w1/w2 (n_pairs, K, C, C)
+    slope: float = LRELU_SLOPE,
+    t_blk: int | None = None,
+    interpret: bool = False,
+    fold: int = 1,
+    prefolded_len: Optional[int] = None,
+) -> jax.Array:
+    """One whole MRF stage — every branch plus the mean — in one Pallas call.
+
+    Semantics: ``mean_i(mrf_branch_reference(x, *branches[i]))`` (the
+    generator's per-stage reduction, models/hifigan.py:287-292), with the
+    division fused and the sum accumulated in f32.  Input/output layouts
+    match ``mrf_branch_pallas`` (NWC, or folded when ``prefolded_len``).
+    im2col packing only (the taps variant measured slower — PARITY.md).
+    """
+    P = int(fold)
+    shapes = []
+    for w1, _, _, _, dil in branches:
+        n_pairs, K, C, _ = w1.shape
+        if K % 2 == 0:
+            raise ValueError(f"fused MRF stage requires odd kernel sizes, got K={K}")
+        shapes.append((K, tuple(dil)))
+    PC = P * C
+
+    if prefolded_len is not None:
+        B, pc_in, _ = x.shape
+        if pc_in != PC:
+            raise ValueError(f"prefolded input has {pc_in} rows, expected fold*C = {PC}")
+        T = int(prefolded_len)
+        x_f = x
+    else:
+        B, T, _ = x.shape
+        x_f = fold_time(x, P) if P > 1 else jnp.swapaxes(x, 1, 2)
+    t_f = x_f.shape[2]
+
+    geoms = _stage_geoms(shapes, P)
+    halo_f_max = max(g[1] for g in geoms)
+    if t_blk is None:
+        t_blk = pick_stage_t_blk(C, shapes, x.dtype.itemsize, fold=P)
+        if t_blk == 0:
+            raise ValueError(f"fused MRF stage (C={C}, fold={P}) does not fit VMEM")
+    width = -(-(t_blk + 2 * halo_f_max) // 128) * 128
+    n_blocks = -(-t_f // t_blk)
+    l_pad = n_blocks * t_blk + (width - t_blk)
+    x_pad = jnp.pad(x_f, ((0, 0), (0, 0), (halo_f_max, l_pad - halo_f_max - t_f)))
+
+    operands = []
+    in_specs = [
+        pl.BlockSpec(
+            (pl.Element(1), pl.Element(PC), pl.Element(width)),
+            lambda b, i: (b, 0, i * t_blk),
+        )
+    ]
+    branch_metas, halo_f_list, n_pairs_list = [], [], []
+    max_ns_c = 0
+    for (w1, b1, w2, b2, dil), (metas, halo_f, ns_list, n_pairs) in zip(branches, geoms):
+        w1f = [_fold_weight(w1[j], P, d, metas[j][0]) for j, d in enumerate(dil)]
+        w2f = [_fold_weight(w2[j], P, 1, metas[j][2]) for j in range(n_pairs)]
+        b1f = jnp.tile(b1, (1, P))[..., None]
+        b2f = jnp.tile(b2, (1, P))[..., None]
+        for wf in w1f + w2f:
+            zeros = (0,) * wf.ndim
+            in_specs.append(pl.BlockSpec(wf.shape, lambda b, i, z=zeros: z, pipeline_mode=pl.Buffered(1)))
+        in_specs.append(pl.BlockSpec(b1f.shape, lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)))
+        in_specs.append(pl.BlockSpec(b2f.shape, lambda b, i: (0, 0, 0), pipeline_mode=pl.Buffered(1)))
+        operands.extend(w1f + w2f + [b1f, b2f])
+        branch_metas.append(metas)
+        halo_f_list.append(halo_f)
+        n_pairs_list.append(n_pairs)
+        max_ns_c = max(max_ns_c, max(ns_list) * C)
+
+    kernel = functools.partial(
+        _mrf_stage_kernel,
+        branch_metas=tuple(branch_metas),
+        n_pairs_list=tuple(n_pairs_list),
+        fold=P,
+        chans=C,
+        halo_f_max=halo_f_max,
+        halo_f_list=tuple(halo_f_list),
+        t_blk=t_blk,
+        width=width,
+        slope=slope,
+        seq_len=T,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((PC, width), jnp.float32),  # x_buf (pristine input)
+        pltpu.VMEM((PC, width), jnp.float32),  # work (per-branch residual chain)
+        pltpu.VMEM((PC, width), jnp.float32),  # h_buf
+        pltpu.VMEM((PC, t_blk), jnp.float32),  # acc (branch sum)
+        pltpu.VMEM((max_ns_c, width), x.dtype),  # shared im2col
+    ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, PC, t_blk), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, PC, n_blocks * t_blk), x.dtype),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(x_pad, *operands)
 
     y = out[:, :, :t_f]
     if prefolded_len is not None:

@@ -117,6 +117,69 @@ def test_generator_apply_fused_folded_matches_module():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("fold", [1, 2, 4, 8])
+def test_stage_kernel_matches_reference_mean(fold):
+    """Whole-stage fusion: mrf_stage_pallas == mean of the branch references
+    across heterogeneous kernel sizes (the production 3/7/11 stage shape)."""
+    C, T = 16, 137
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, T, C)), jnp.float32) * 0.5
+    branches = []
+    for seed, K in enumerate((3, 7, 11)):
+        w1, b1, w2, b2 = make_branch(C, K, seed=seed)
+        branches.append((w1, b1, w2, b2, (1, 3, 5)))
+
+    ref = sum(FM.mrf_branch_reference(x, w1, b1, w2, b2, d) for w1, b1, w2, b2, d in branches) / 3.0
+    got = FM.mrf_stage_pallas(x, branches, t_blk=128, interpret=True, fold=fold)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_stage_kernel_prefolded_and_bf16():
+    C, T, P = 16, 100, 4
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((2, T, C)), jnp.float32) * 0.5
+    branches = [(*make_branch(C, K, seed=K), (1, 3, 5)) for K in (3, 11)]
+
+    ref = sum(FM.mrf_branch_reference(x, w1, b1, w2, b2, d) for w1, b1, w2, b2, d in branches) / 2.0
+    xf = FM.fold_time(x, P)
+    got = FM.unfold_time(
+        FM.mrf_stage_pallas(xf, branches, t_blk=128, interpret=True, fold=P, prefolded_len=T), P, T
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    cast = lambda a: a.astype(jnp.bfloat16)
+    bf_branches = [(cast(w1), cast(b1), cast(w2), cast(b2), d) for w1, b1, w2, b2, d in branches]
+    got_bf = FM.mrf_stage_pallas(cast(x), bf_branches, t_blk=128, interpret=True, fold=P)
+    assert got_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got_bf, np.float32), np.asarray(ref), rtol=0.05, atol=0.06)
+
+
+def test_generator_stage_fusion_off_matches_on():
+    """The stage-fusion gate is a pure perf dispatch: outputs with fusion
+    forced OFF (per-branch kernels + XLA mean) must equal fusion ON."""
+    from speech_resynth_tpu.core.precision import FLOAT32
+    from speech_resynth_tpu.models.hifigan import HifiGanConfig, HifiGanGenerator, generator_apply_fused
+
+    cfg = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=32,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    gen = HifiGanGenerator(cfg, policy=FLOAT32)
+    mel = jnp.asarray(np.random.default_rng(9).standard_normal((2, 12, 8)), jnp.float32)
+    variables = gen.init(jax.random.key(0), mel)
+
+    kw = dict(compute_dtype=jnp.float32, force_fused=True, interpret=True, mrf_fold=4)
+    with FM.mrf_stage_fusion(True):
+        on = generator_apply_fused(variables["params"], cfg, mel, **kw)
+    with FM.mrf_stage_fusion(False):
+        off = generator_apply_fused(variables["params"], cfg, mel, **kw)
+    ref = gen.apply(variables, mel)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(off), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_generator_apply_fused_truncate_prefixes():
     """truncate points return the right intermediate shapes and the chain of
     prefixes is consistent with the full program (bench_vocoder_stages.py)."""
