@@ -84,10 +84,16 @@ class ConditionalFlowMatchingWithHifiGan:
         ids = jnp.ones((1, 8), jnp.int32)
         mels = jnp.zeros((1, 8, model_config.dim_in), jnp.float32)
         durs = jnp.ones((1, 8), jnp.int32)
-        mvars = model.init({"params": jax.random.key(rng_seed)}, ids, mels, durs, rng=jax.random.key(1))
+        # jit the inits: eager Flax init dispatches op-by-op, and on the
+        # tunneled axon backend each dispatch pays the ~25 ms sync floor —
+        # measured 222 s eager vs 37 s jitted at full size (2026-08-19,
+        # /tmp/probe_startup.py; it was most of bench.py's 344 s startup)
+        mvars = jax.jit(lambda k, kr: model.init({"params": k}, ids, mels, durs, rng=kr))(
+            jax.random.key(rng_seed), jax.random.key(1)
+        )
 
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
-        vvars = vocoder.init(jax.random.key(rng_seed + 2), mels)
+        vvars = jax.jit(lambda k: vocoder.init(k, mels))(jax.random.key(rng_seed + 2))
         return cls(model, mvars, vocoder, vvars)
 
     @classmethod

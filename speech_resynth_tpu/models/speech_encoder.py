@@ -158,7 +158,7 @@ class SpeechEncoder:
                 stacklevel=2,
             )
             dummy = jnp.zeros((1, 4000), jnp.float32)
-            variables = encoder.init(jax.random.key(rng_seed), dummy)
+            variables = jax.jit(lambda k: encoder.init(k, dummy))(jax.random.key(rng_seed))
 
         if km_path.is_file():
             quantizer = KMeansQuantizer.load(km_path)
