@@ -162,8 +162,9 @@ def main():
 
     require_backend(min(240.0, max(30.0, _remaining() - 30.0)), metric="resynthesis_rtf", unit="x_realtime")
 
-    # startup dominates the bench's cold cost (r04 measurement: 344 s to
-    # here+model-init vs 28 s for all ten trials) — heartbeat the stages
+    # startup dominates the bench's cold cost (r04: 344 s to here+model-init
+    # when init was eager, 37 s once jitted — composite.py from_config;
+    # all ten trials are ~28 s) — heartbeat the stages
     _heartbeat("imports")
     from speech_resynth_tpu.core.metrics import compiled_flops, device_peak_flops
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
