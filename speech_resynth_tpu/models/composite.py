@@ -123,10 +123,15 @@ class ConditionalFlowMatchingWithHifiGan:
         model_sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
         voc_sd = {k[len("vocoder.") :]: v for k, v in sd.items() if k.startswith("vocoder.")}
 
+        # cast loaded params to the policy's param dtype — matches what init
+        # would produce, and under BF16_INFERENCE halves the param bytes the
+        # 16-step ODE scan re-reads from HBM every step (buffers stay f32,
+        # exactly as HifiGanGenerator declares them)
+        as_param = lambda v: jnp.asarray(v, policy.param_dtype)
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
-        mvars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(model_sd))
+        mvars = jax.tree_util.tree_map(as_param, cfm_model_params(model_sd))
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
-        vparams = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(voc_sd))
+        vparams = jax.tree_util.tree_map(as_param, hifigan_generator_params(voc_sd))
         vvars = {"params": vparams}
         if vocoder_config.normalize_before:
             # normalize_before vocoders carry mean/scale stats; apply() would
@@ -147,11 +152,12 @@ class ConditionalFlowMatchingWithHifiGan:
         with open(voc_dir / "config.json") as f:
             vocoder_config = HifiGanConfig.from_dict(json.load(f))
 
+        as_param = lambda v: jnp.asarray(v, policy.param_dtype)  # see from_pretrained
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
-        mvars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(_load_state_dict(model_dir)))
+        mvars = jax.tree_util.tree_map(as_param, cfm_model_params(_load_state_dict(model_dir)))
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
         voc_sd = _load_state_dict(voc_dir)
-        vvars = {"params": jax.tree_util.tree_map(jnp.asarray, hifigan_generator_params(voc_sd))}
+        vvars = {"params": jax.tree_util.tree_map(as_param, hifigan_generator_params(voc_sd))}
         if vocoder_config.normalize_before:
             vvars["buffers"] = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_buffers(voc_sd))
         return cls(model, mvars, vocoder, vvars)

@@ -148,7 +148,10 @@ class SpeechEncoder:
             from .convert import hubert_params
 
             params = hubert_params(load_file(str(dense_path)))
-            variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+            # param dtype per policy: matches init, halves HBM weight reads
+            variables = {
+                "params": jax.tree_util.tree_map(lambda v: jnp.asarray(v, policy.param_dtype), params)
+            }
         else:
             import warnings
 

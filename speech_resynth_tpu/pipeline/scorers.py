@@ -134,8 +134,13 @@ class NativeWhisperASR:
         sd = _load_hf_state_dict(model_dir)
         from ..models.convert import stack_whisper_layers
 
+        # store params in the policy's param dtype (bf16) — matches init and
+        # halves the weight bytes every decode step streams from HBM
         self.variables = {
-            "params": jax.tree_util.tree_map(jnp.asarray, stack_whisper_layers(whisper_params(sd)))
+            "params": jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, self.model.policy.param_dtype),
+                stack_whisper_layers(whisper_params(sd)),
+            )
         }
 
         from transformers import AutoTokenizer
@@ -303,7 +308,11 @@ class NativeUTMOS:
         params = utmos_params(sd)
         self.config = config_from_params(params)
         self.model = UTMOSPredictor(self.config, policy=policy or BF16_INFERENCE)
-        self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+        self.variables = {
+            "params": jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, self.model.policy.param_dtype), params
+            )
+        }
         # clamp to [0, table size): an OOB id in either direction would
         # gather JAX's NaN fill value and poison every score
         self.domain_id = max(

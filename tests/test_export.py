@@ -106,6 +106,51 @@ def test_composite_save_and_load(tmp_path):
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-5, atol=1e-6)
 
 
+def test_from_pretrained_param_dtype_follows_policy(tmp_path):
+    """Loaded checkpoints must store params in policy.param_dtype, exactly as
+    from_config's init does — under BF16_INFERENCE f32 storage would double
+    the weight bytes the 16-step ODE scan re-reads from HBM every step (and
+    compile a different program than the init path).  Buffers stay f32."""
+    from speech_resynth_tpu.core.precision import BF16_INFERENCE
+
+    cfm_cfg = CFMConfig(
+        vocab_size=9,
+        dim_in=8,
+        dim_cond_emb=12,
+        hidden_size=16,
+        depth=2,
+        heads=2,
+        intermediate_size=24,
+        conv_pos_embed_kernel_size=7,
+        conv_pos_embed_groups=16,
+    )
+    voc_cfg = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=16,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        normalize_before=True,
+    )
+    dec = ConditionalFlowMatchingWithHifiGan.from_config(cfm_cfg, voc_cfg, policy=FLOAT32)
+    E.save_composite_pretrained(
+        tmp_path / "c", dec.model_variables, cfm_cfg, dec.vocoder_variables, voc_cfg
+    )
+
+    bf = ConditionalFlowMatchingWithHifiGan.from_pretrained(tmp_path / "c", policy=BF16_INFERENCE)
+    for leaf in jax.tree_util.tree_leaves(bf.model_variables) + jax.tree_util.tree_leaves(
+        bf.vocoder_variables["params"]
+    ):
+        assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    for leaf in jax.tree_util.tree_leaves(bf.vocoder_variables["buffers"]):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+    f32 = ConditionalFlowMatchingWithHifiGan.from_pretrained(tmp_path / "c", policy=FLOAT32)
+    for leaf in jax.tree_util.tree_leaves(f32.model_variables):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+
 def test_composite_normalize_before_buffers_roundtrip(tmp_path):
     # normalize_before=True vocoders carry mean/scale buffers (HF config
     # default); export must persist the real stats and from_pretrained must
