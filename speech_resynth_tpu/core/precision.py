@@ -26,6 +26,18 @@ class Policy:
     def cast_to_output(self, x):
         return jnp.asarray(x, self.output_dtype)
 
+    def cast_to_param(self, x):
+        return jnp.asarray(x, self.param_dtype)
+
+    def cast_params(self, tree):
+        """Tree-cast loaded checkpoint params to ``param_dtype`` — keeps
+        every loader dtype-identical to what ``module.init`` produces (under
+        BF16_INFERENCE f32 storage would double the weight bytes streamed
+        from HBM per step AND compile a different program than init)."""
+        import jax
+
+        return jax.tree_util.tree_map(self.cast_to_param, tree)
+
 
 # Default training policy: bf16 matmuls on the MXU, f32 master params.
 DEFAULT = Policy()

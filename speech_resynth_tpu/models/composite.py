@@ -80,20 +80,18 @@ class ConditionalFlowMatchingWithHifiGan:
         policy: Policy = BF16_INFERENCE,
         rng_seed: int = 0,
     ) -> "ConditionalFlowMatchingWithHifiGan":
+        from ..core.flaxinit import jitted_init
+
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
         ids = jnp.ones((1, 8), jnp.int32)
         mels = jnp.zeros((1, 8, model_config.dim_in), jnp.float32)
         durs = jnp.ones((1, 8), jnp.int32)
-        # jit the inits: eager Flax init dispatches op-by-op, and on the
-        # tunneled axon backend each dispatch pays the ~25 ms sync floor —
-        # measured 222 s eager vs 37 s jitted at full size (2026-08-19,
-        # /tmp/probe_startup.py; it was most of bench.py's 344 s startup)
-        mvars = jax.jit(lambda k, kr: model.init({"params": k}, ids, mels, durs, rng=kr))(
-            jax.random.key(rng_seed), jax.random.key(1)
+        mvars = jitted_init(
+            model, {"params": jax.random.key(rng_seed)}, ids, mels, durs, rng=jax.random.key(1)
         )
 
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
-        vvars = jax.jit(lambda k: vocoder.init(k, mels))(jax.random.key(rng_seed + 2))
+        vvars = jitted_init(vocoder, jax.random.key(rng_seed + 2), mels)
         return cls(model, mvars, vocoder, vvars)
 
     @classmethod
@@ -123,16 +121,12 @@ class ConditionalFlowMatchingWithHifiGan:
         model_sd = {k[len("model.") :]: v for k, v in sd.items() if k.startswith("model.")}
         voc_sd = {k[len("vocoder.") :]: v for k, v in sd.items() if k.startswith("vocoder.")}
 
-        # cast loaded params to the policy's param dtype — matches what init
-        # would produce, and under BF16_INFERENCE halves the param bytes the
-        # 16-step ODE scan re-reads from HBM every step (buffers stay f32,
-        # exactly as HifiGanGenerator declares them)
-        as_param = lambda v: jnp.asarray(v, policy.param_dtype)
+        # params per policy.param_dtype (Policy.cast_params); buffers stay
+        # f32, exactly as HifiGanGenerator declares them
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
-        mvars = jax.tree_util.tree_map(as_param, cfm_model_params(model_sd))
+        mvars = policy.cast_params(cfm_model_params(model_sd))
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
-        vparams = jax.tree_util.tree_map(as_param, hifigan_generator_params(voc_sd))
-        vvars = {"params": vparams}
+        vvars = {"params": policy.cast_params(hifigan_generator_params(voc_sd))}
         if vocoder_config.normalize_before:
             # normalize_before vocoders carry mean/scale stats; apply() would
             # otherwise try to create the immutable "buffers" collection.
@@ -152,12 +146,11 @@ class ConditionalFlowMatchingWithHifiGan:
         with open(voc_dir / "config.json") as f:
             vocoder_config = HifiGanConfig.from_dict(json.load(f))
 
-        as_param = lambda v: jnp.asarray(v, policy.param_dtype)  # see from_pretrained
         model = ConditionalFlowMatchingModel(model_config, policy=policy)
-        mvars = jax.tree_util.tree_map(as_param, cfm_model_params(_load_state_dict(model_dir)))
+        mvars = policy.cast_params(cfm_model_params(_load_state_dict(model_dir)))
         vocoder = HifiGanGenerator(vocoder_config, policy=policy)
         voc_sd = _load_state_dict(voc_dir)
-        vvars = {"params": jax.tree_util.tree_map(as_param, hifigan_generator_params(voc_sd))}
+        vvars = {"params": policy.cast_params(hifigan_generator_params(voc_sd))}
         if vocoder_config.normalize_before:
             vvars["buffers"] = jax.tree_util.tree_map(jnp.asarray, hifigan_generator_buffers(voc_sd))
         return cls(model, mvars, vocoder, vvars)

@@ -383,7 +383,13 @@ def _lookup_decode_impl(
         m = jnp.max(jnp.where(valid, t_idx[None, :], -1), axis=-1)  # (b,)
         start = jnp.where(m >= 0, m + ngram, jnp.maximum(p + n - 1, 0))
         idx = jnp.clip(start[:, None] + jnp.arange(S)[None, :], 0, cap - 1)
-        return jnp.take_along_axis(buf, idx, axis=1)
+        gathered = jnp.take_along_axis(buf, idx, axis=1)
+        # positions at/past the committed frontier (p+n-1 is the last
+        # committed token) hold stale/zero bytes — substitute the last token
+        # so the no-match fallback and frontier-overlapping continuations
+        # draft repetition instead of garbage (wasted verify slots)
+        last = jax.lax.dynamic_slice(buf, (0, p + n - 1), (b, 1))
+        return jnp.where(idx <= (p + n - 1), gathered, last)
 
     def cond(carry):
         _, _, n, done, _ = carry

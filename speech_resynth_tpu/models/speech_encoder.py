@@ -148,10 +148,7 @@ class SpeechEncoder:
             from .convert import hubert_params
 
             params = hubert_params(load_file(str(dense_path)))
-            # param dtype per policy: matches init, halves HBM weight reads
-            variables = {
-                "params": jax.tree_util.tree_map(lambda v: jnp.asarray(v, policy.param_dtype), params)
-            }
+            variables = {"params": policy.cast_params(params)}
         else:
             import warnings
 
@@ -160,8 +157,10 @@ class SpeechEncoder:
                 "(smoke-test mode). Convert the published checkpoint with scripts/convert_checkpoints.py.",
                 stacklevel=2,
             )
+            from ..core.flaxinit import jitted_init
+
             dummy = jnp.zeros((1, 4000), jnp.float32)
-            variables = jax.jit(lambda k: encoder.init(k, dummy))(jax.random.key(rng_seed))
+            variables = jitted_init(encoder, jax.random.key(rng_seed), dummy)
 
         if km_path.is_file():
             quantizer = KMeansQuantizer.load(km_path)

@@ -219,6 +219,69 @@ def _fold_weight_taps(w: jax.Array, fold: int, d: int, fpad: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _edge_mask(vals, start_col: int, w: int, *, base, P: int, C: int, seq_len: int):
+    """SAME-conv semantics: zero every conv INPUT outside the real sequence
+    [0, seq_len).  Real position of (row, col) in folded space is
+    (base + start_col + col) * P + row // C.  Shared by the per-branch and
+    whole-stage kernels — their edge/geometry logic must stay in lockstep."""
+    cols = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    if P == 1:
+        g = cols
+    else:
+        g = cols * P + jax.lax.broadcasted_iota(jnp.int32, (P * C, w), 0) // C
+    return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
+
+
+def _im2col_conv(act, w_ref, used_s, fpad: int, o_w: int, *, im_buf, P: int, C: int):
+    """One folded conv on `act` (already lrelu'd/masked/cast) via the in-VMEM
+    im2col: offset s reads the input's phase-row r = s % P shifted by
+    q = s // P columns; output width o_w, f32 accumulation."""
+    for k, s in enumerate(used_s):
+        q, r = divmod(s, P)
+        c0 = fpad + q
+        im_buf[k * C : (k + 1) * C, pl.ds(0, o_w)] = act[r * C : (r + 1) * C, c0 : c0 + o_w]
+    return jax.lax.dot_general(
+        w_ref[...],
+        im_buf[pl.ds(0, len(used_s) * C), pl.ds(0, o_w)],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_pair_chain(buf, h_buf, metas, n_pairs: int, w1_refs, w2_refs, b1_ref, b2_ref,
+                     offset: int, width: int, slope: float, op_dtype, conv, masked) -> int:
+    """Run one branch's (dilated conv → lrelu → conv → residual) pairs in
+    place on `buf` starting at folded halo `offset`; returns the final
+    offset.  `conv`/`masked` are the kernel-local closures (taps or im2col
+    packing; block-local base)."""
+    for j in range(n_pairs):
+        used1, fpad1, used2, fpad2 = metas[j]
+        in_w = width - 2 * offset
+        mid_w = in_w - 2 * fpad1
+        out_w = mid_w - 2 * fpad2
+
+        xin = buf[:, pl.ds(offset, in_w)]
+        act = jnp.where(xin > 0, xin, xin * slope)
+        act = masked(act, offset, in_w).astype(op_dtype)
+        acc = conv(act, w1_refs[j], used1, fpad1, mid_w)
+        acc += b1_ref[j].astype(jnp.float32)
+        h_buf[:, pl.ds(0, mid_w)] = acc
+
+        # conv2 (undilated) on lrelu(h)
+        hmid = h_buf[:, pl.ds(0, mid_w)]
+        act2 = jnp.where(hmid > 0, hmid, hmid * slope)
+        act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
+        acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w)
+        acc2 += b2_ref[j].astype(jnp.float32)
+
+        # residual add against the matching center slice of the activation
+        new_offset = offset + fpad1 + fpad2
+        res = buf[:, pl.ds(new_offset, out_w)]
+        buf[:, pl.ds(new_offset, out_w)] = res + acc2
+        offset = new_offset
+    return offset
+
+
 def _mrf_kernel(
     x_ref,  # (1, P*C, W) folded input incl. halo
     *rest,  # n_pairs conv1 weights, n_pairs conv2 weights, b1, b2, out, scratch
@@ -258,28 +321,19 @@ def _mrf_kernel(
         op_dtype = im_buf.dtype
 
     P, C = fold, chans
-    PC = P * C
     x_buf[...] = x_ref[0].astype(jnp.float32)
 
     # folded column of buffer column 0 (block i's output starts at folded
     # column i*t_blk; the buffer holds halo_f extra columns on the left)
     base = pl.program_id(1) * t_blk - halo_f
 
-    def masked(vals, start_col: int, w: int):
-        """SAME-conv semantics: zero every conv INPUT outside the real
-        sequence [0, seq_len).  Real position of (row, col) in folded space
-        is (base + start_col + col) * P + row // C."""
-        cols = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-        if P == 1:
-            g = cols
-        else:
-            g = cols * P + jax.lax.broadcasted_iota(jnp.int32, (PC, w), 0) // C
-        return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
+    def masked(vals, start_col, w):
+        return _edge_mask(vals, start_col, w, base=base, P=P, C=C, seq_len=seq_len)
 
     def conv(act, w_ref, used_s, fpad, o_w):
-        """One folded conv on `act` (already lrelu'd/masked/cast), output
-        width o_w = act width - 2*fpad, f32 accumulation."""
         if packing == "taps":
+            # no im2col buffer in taps mode: 2*fpad+1 dense matmuls read
+            # straight off the activation at shifted column offsets
             acc = None
             for qi in range(2 * fpad + 1):
                 part = jax.lax.dot_general(
@@ -290,45 +344,12 @@ def _mrf_kernel(
                 )
                 acc = part if acc is None else acc + part
             return acc
-        for idx, s in enumerate(used_s):
-            q, r = divmod(s, P)
-            c0 = fpad + q
-            im_buf[idx * C : (idx + 1) * C, pl.ds(0, o_w)] = act[r * C : (r + 1) * C, c0 : c0 + o_w]
-        return jax.lax.dot_general(
-            w_ref[...],
-            im_buf[pl.ds(0, len(used_s) * C), pl.ds(0, o_w)],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        return _im2col_conv(act, w_ref, used_s, fpad, o_w, im_buf=im_buf, P=P, C=C)
 
-    offset = 0  # consumed folded halo so far
-    for j in range(n_pairs):
-        used1, fpad1, used2, fpad2 = metas[j]
-        in_w = width - 2 * offset
-        mid_w = in_w - 2 * fpad1
-        out_w = mid_w - 2 * fpad2
-
-        # conv1 (dilated): im2col block for offset s reads the input's
-        # phase-row r = s % P shifted by q = s // P columns
-        xin = x_buf[:, pl.ds(offset, in_w)]
-        act = jnp.where(xin > 0, xin, xin * slope)
-        act = masked(act, offset, in_w).astype(op_dtype)
-        acc = conv(act, w1_refs[j], used1, fpad1, mid_w)
-        acc += b1_ref[j].astype(jnp.float32)
-        h_buf[:, pl.ds(0, mid_w)] = acc
-
-        # conv2 (undilated) on lrelu(h)
-        hmid = h_buf[:, pl.ds(0, mid_w)]
-        act2 = jnp.where(hmid > 0, hmid, hmid * slope)
-        act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
-        acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w)
-        acc2 += b2_ref[j].astype(jnp.float32)
-
-        # residual add against the matching center slice of x
-        new_offset = offset + fpad1 + fpad2
-        res = x_buf[:, pl.ds(new_offset, out_w)]
-        x_buf[:, pl.ds(new_offset, out_w)] = res + acc2
-        offset = new_offset
+    _conv_pair_chain(
+        x_buf, h_buf, metas, n_pairs, w1_refs, w2_refs, b1_ref, b2_ref,
+        0, width, slope, op_dtype, conv, masked,
+    )
 
     o_ref[0] = x_buf[:, pl.ds(halo_f, t_blk)].astype(o_ref.dtype)
 
@@ -373,57 +394,23 @@ def _mrf_stage_kernel(
     op_dtype = im_buf.dtype
 
     P, C = fold, chans
-    PC = P * C
     x_buf[...] = x_ref[0].astype(jnp.float32)
     base = pl.program_id(1) * t_blk - halo_f_max
 
-    def masked(vals, start_col: int, w: int):
-        cols = base + start_col + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-        if P == 1:
-            g = cols
-        else:
-            g = cols * P + jax.lax.broadcasted_iota(jnp.int32, (PC, w), 0) // C
-        return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
+    def masked(vals, start_col, w):
+        return _edge_mask(vals, start_col, w, base=base, P=P, C=C, seq_len=seq_len)
 
     def conv(act, w_ref, used_s, fpad, o_w):
-        for k, s in enumerate(used_s):
-            q, r = divmod(s, P)
-            c0 = fpad + q
-            im_buf[k * C : (k + 1) * C, pl.ds(0, o_w)] = act[r * C : (r + 1) * C, c0 : c0 + o_w]
-        return jax.lax.dot_general(
-            w_ref[...],
-            im_buf[pl.ds(0, len(used_s) * C), pl.ds(0, o_w)],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        return _im2col_conv(act, w_ref, used_s, fpad, o_w, im_buf=im_buf, P=P, C=C)
 
     for br, (w1_refs, w2_refs, b1_ref, b2_ref) in enumerate(branch_refs):
-        metas = branch_metas[br]
         work[...] = x_buf[...]
-        offset = halo_f_max - halo_f_list[br]
-        for j in range(n_pairs_list[br]):
-            used1, fpad1, used2, fpad2 = metas[j]
-            in_w = width - 2 * offset
-            mid_w = in_w - 2 * fpad1
-            out_w = mid_w - 2 * fpad2
-
-            xin = work[:, pl.ds(offset, in_w)]
-            act = jnp.where(xin > 0, xin, xin * slope)
-            act = masked(act, offset, in_w).astype(op_dtype)
-            acc = conv(act, w1_refs[j], used1, fpad1, mid_w)
-            acc += b1_ref[j].astype(jnp.float32)
-            h_buf[:, pl.ds(0, mid_w)] = acc
-
-            hmid = h_buf[:, pl.ds(0, mid_w)]
-            act2 = jnp.where(hmid > 0, hmid, hmid * slope)
-            act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
-            acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w)
-            acc2 += b2_ref[j].astype(jnp.float32)
-
-            new_offset = offset + fpad1 + fpad2
-            res = work[:, pl.ds(new_offset, out_w)]
-            work[:, pl.ds(new_offset, out_w)] = res + acc2
-            offset = new_offset
+        # branch chains with different receptive fields start at per-branch
+        # offsets inside the shared (max-halo) window
+        _conv_pair_chain(
+            work, h_buf, branch_metas[br], n_pairs_list[br], w1_refs, w2_refs, b1_ref, b2_ref,
+            halo_f_max - halo_f_list[br], width, slope, op_dtype, conv, masked,
+        )
 
         out_cols = work[:, pl.ds(halo_f_max, t_blk)]
         if br == 0:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import config_from_dict
+from ..core.flaxinit import jitted_init
 from ..dsp.mel import log_mel_spectrogram
 from .synthetic import HOP, N_FFT, make_formant_corpus, make_unit_grammar_corpus
 
@@ -202,7 +203,7 @@ def run_e2e_quality(workdir: str | Path, scale: str = "ci") -> Dict:
         resblock_dilation_sizes=((1, 3), (1, 3)),
     )
     gen = HifiGanGenerator(voc_config, policy=FLOAT32)
-    untrained = jax.jit(lambda k: gen.init(k, jnp.zeros((1, 8, 80))))(jax.random.key(0))
+    untrained = jitted_init(gen, jax.random.key(0), jnp.zeros((1, 8, 80)))
     results["gan_mel_l1_untrained"] = _eval_vocoder(gen, untrained, eval_names, eval_corpus["spec_dir"])
 
     train_hifigan(gan_cfg)
@@ -231,15 +232,14 @@ def run_e2e_quality(workdir: str | Path, scale: str = "ci") -> Dict:
     model = ConditionalFlowMatchingModel(model_config, policy=FLOAT32)
     cfm_sd = load_file(str(Path(cfm_cfg.flow_matching.path) / "hf" / "model.safetensors"))
     cfm_vars = jax.tree_util.tree_map(jnp.asarray, cfm_model_params(cfm_sd))
-    untrained_vars = jax.jit(
-        lambda k, kr: model.init(
-            {"params": k},
-            jnp.ones((1, 4), jnp.int32),
-            jnp.zeros((1, 4, 80)),
-            jnp.ones((1, 4), jnp.int32),
-            rng=kr,
-        )
-    )(jax.random.key(1), jax.random.key(2))
+    untrained_vars = jitted_init(
+        model,
+        {"params": jax.random.key(1)},
+        jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 4, 80)),
+        jnp.ones((1, 4), jnp.int32),
+        rng=jax.random.key(2),
+    )
 
     def cfm_eval(variables) -> float:
         errs = []

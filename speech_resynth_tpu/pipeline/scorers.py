@@ -134,13 +134,8 @@ class NativeWhisperASR:
         sd = _load_hf_state_dict(model_dir)
         from ..models.convert import stack_whisper_layers
 
-        # store params in the policy's param dtype (bf16) — matches init and
-        # halves the weight bytes every decode step streams from HBM
         self.variables = {
-            "params": jax.tree_util.tree_map(
-                lambda v: jnp.asarray(v, self.model.policy.param_dtype),
-                stack_whisper_layers(whisper_params(sd)),
-            )
+            "params": self.model.policy.cast_params(stack_whisper_layers(whisper_params(sd)))
         }
 
         from transformers import AutoTokenizer
@@ -308,11 +303,7 @@ class NativeUTMOS:
         params = utmos_params(sd)
         self.config = config_from_params(params)
         self.model = UTMOSPredictor(self.config, policy=policy or BF16_INFERENCE)
-        self.variables = {
-            "params": jax.tree_util.tree_map(
-                lambda v: jnp.asarray(v, self.model.policy.param_dtype), params
-            )
-        }
+        self.variables = {"params": self.model.policy.cast_params(params)}
         # clamp to [0, table size): an OOB id in either direction would
         # gather JAX's NaN fill value and poison every score
         self.domain_id = max(

@@ -270,8 +270,5 @@ def load_lm_from_hf(model_dir: str, policy=None, scan_layers: bool = False):
     if scan_layers:
         params = stack_llama_layers(params)
     model = LlamaLM(config, policy=policy or BF16_INFERENCE, scan_layers=scan_layers)
-    # param dtype per policy: matches init, halves HBM weight reads under bf16
-    variables = {
-        "params": jax.tree_util.tree_map(lambda v: jnp.asarray(v, model.policy.param_dtype), params)
-    }
+    variables = {"params": model.policy.cast_params(params)}
     return model, variables

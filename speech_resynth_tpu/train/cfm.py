@@ -37,10 +37,10 @@ def build_model(
     ids = jnp.ones((1, 8), jnp.int32)
     mels = jnp.zeros((1, 8, config.dim_in), jnp.float32)
     durs = jnp.ones((1, 8), jnp.int32)
-    # jitted init: one compiled program instead of per-op dispatches (the
-    # tunneled backend's ~25 ms/call floor makes eager init minutes-slow)
-    variables = jax.jit(lambda k, kr: model.init({"params": k}, ids, mels, durs, rng=kr))(
-        jax.random.key(seed), jax.random.key(seed + 1)
+    from ..core.flaxinit import jitted_init
+
+    variables = jitted_init(
+        model, {"params": jax.random.key(seed)}, ids, mels, durs, rng=jax.random.key(seed + 1)
     )
     if embedding_table is not None:
         params = dict(variables["params"])

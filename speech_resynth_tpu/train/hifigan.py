@@ -93,11 +93,11 @@ def build_models(
 
     mel = jnp.zeros((1, 16, config.model_in_dim), jnp.float32)
     wav = jnp.zeros((1, 16 * config.total_upsample + (400 - config.total_upsample)), jnp.float32)
-    # jitted inits: one compiled program each instead of per-op dispatches
-    # (the tunneled backend's ~25 ms/call floor makes eager init minutes-slow)
-    gen_vars = jax.jit(lambda k: gen.init(k, mel))(jax.random.key(seed))
-    mpd_vars = jax.jit(lambda k: mpd.init(k, wav, wav))(jax.random.key(seed + 1))
-    msd_vars = jax.jit(lambda k: msd.init(k, wav, wav))(jax.random.key(seed + 2))
+    from ..core.flaxinit import jitted_init
+
+    gen_vars = jitted_init(gen, jax.random.key(seed), mel)
+    mpd_vars = jitted_init(mpd, jax.random.key(seed + 1), wav, wav)
+    msd_vars = jitted_init(msd, jax.random.key(seed + 2), wav, wav)
     return (gen, mpd, msd), (gen_vars, mpd_vars, msd_vars)
 
 

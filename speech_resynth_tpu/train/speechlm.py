@@ -88,9 +88,10 @@ def make_speechlm_trainer(
     )
     # init with an unconstrained twin: the eager init batch (1, 8) need not
     # be divisible by the mesh; the param tree is identical either way
-    init_twin = LlamaLM(model_config, policy=policy)
-    variables = jax.jit(lambda k: init_twin.init(k, jnp.ones((1, 8), jnp.int32)))(
-        jax.random.key(trainer_config.seed)
+    from ..core.flaxinit import jitted_init
+
+    variables = jitted_init(
+        LlamaLM(model_config, policy=policy), jax.random.key(trainer_config.seed), jnp.ones((1, 8), jnp.int32)
     )
 
     schedule = warmup_linear_decay(total_steps, trainer_config.warmup_steps, trainer_config.lr, trainer_config.lr_min)

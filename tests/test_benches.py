@@ -15,9 +15,10 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _run_bench(rel: str, *extra: str) -> list:
+def _run_bench(rel: str, *extra: str, env_extra: dict | None = None) -> list:
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env.update(env_extra or {})
     out = subprocess.run(
         [sys.executable, str(REPO / rel), "--cpu", "--tiny", "--batch", "2", "--units", "8",
          "--iters", "1", "--trials", "1", *extra],
@@ -69,11 +70,18 @@ def test_headline_bench_smoke():
     after EVERY completed phase and a final non-provisional line — the r03
     driver run timed out with parsed=null because nothing was printed until
     the very end (BENCH_r03.json: rc=124)."""
-    rows = _run_bench("bench.py")
-    assert len(rows) >= 3, rows  # after_trial_0, after_compute/d2h, final
+    # internal budget UNDER the 540 s subprocess timeout: on a contended host
+    # the watchdog (not TimeoutExpired) must be what ends a slow run — the
+    # exact rc=124/no-output mode this test exists to prevent
+    rows = _run_bench("bench.py", env_extra={"BENCH_BUDGET_S": "450"})
     final = rows[-1]
-    assert "provisional" not in final and final["value"] > 0
-    assert final["bench_wall_s"] > 0 and final["trials"] >= 1
+    if final.get("budget_exceeded"):
+        # degraded-but-recorded path: the watchdog fired with a best snapshot
+        assert final["provisional"] is True and "phase" in final, final
+    else:
+        assert len(rows) >= 3, rows  # after_trial_0, after_compute/d2h, final
+        assert "provisional" not in final and final["value"] > 0
+        assert final["bench_wall_s"] > 0 and final["trials"] >= 1
     for row in rows[:-1]:
         assert row["provisional"] is True and row["value"] > 0
         assert row["metric"] == final["metric"]
