@@ -108,6 +108,25 @@ def main():
         _, stats_cyc = lookup_decode(model, variables, cyc_prompt, return_stats=True, **lk)
     lookup_cyc_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
 
+    # exact-distribution speculative SAMPLING (lookup_sample_decode): same
+    # filtered target law as sample_decode, accept rate now stochastic
+    # (a draft commits w.p. p(draft)), so the cyclic case shows the realistic
+    # sampled-serving win rather than greedy's deterministic acceptance
+    from speech_resynth_tpu.models.llama import lookup_sample_decode
+
+    ls = dict(samp_kw, eos_token_id=cfg.eos_token_id, ngram=2, spec_tokens=7)
+    np.asarray(lookup_sample_decode(model, variables, prompt, **ls))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, sstats_rand = lookup_sample_decode(model, variables, prompt, return_stats=True, **ls)
+    lookup_samp_rand_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
+
+    np.asarray(lookup_sample_decode(model, variables, cyc_prompt, **ls))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, sstats_cyc = lookup_sample_decode(model, variables, cyc_prompt, return_stats=True, **ls)
+    lookup_samp_cyc_tps = 3 * 16 * 96 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -120,6 +139,10 @@ def main():
                 "lookup_decode_random_tok_per_iter": stats_rand["tokens_per_iteration"],
                 "lookup_decode_cyclic_tokens_per_sec": round(lookup_cyc_tps, 0),
                 "lookup_decode_cyclic_tok_per_iter": stats_cyc["tokens_per_iteration"],
+                "lookup_sample_random_tokens_per_sec": round(lookup_samp_rand_tps, 0),
+                "lookup_sample_random_tok_per_iter": sstats_rand["tokens_per_iteration"],
+                "lookup_sample_cyclic_tokens_per_sec": round(lookup_samp_cyc_tps, 0),
+                "lookup_sample_cyclic_tok_per_iter": sstats_cyc["tokens_per_iteration"],
                 "scan_layers_tokens_per_sec": round(scan_tps, 0),
                 "compile_s_unrolled": round(unrolled_compile_s, 1),
                 "compile_s_scan_layers": round(scan_compile_s, 1),

@@ -17,6 +17,7 @@ from .llama import (
     causal_lm_loss,
     greedy_decode,
     lookup_decode,
+    lookup_sample_decode,
     sample_decode,
     sequence_pseudo_log_prob,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "causal_lm_loss",
     "greedy_decode",
     "lookup_decode",
+    "lookup_sample_decode",
     "sample_decode",
     "sequence_pseudo_log_prob",
     "SpeechEncoder",

@@ -323,6 +323,36 @@ def greedy_decode(model: LlamaLM, variables, prompt_ids: jax.Array, max_new_toke
     return _greedy_decode_impl(model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id)
 
 
+def _propose_drafts(buf: jax.Array, n: jax.Array, *, p: int, ngram: int, spec_tokens: int) -> jax.Array:
+    """(b, S) prompt-lookup draft tokens: the continuation of the LAST earlier
+    occurrence of the trailing ``ngram``; falls back to repeating the last
+    committed token.  ``buf`` is the (b, cap) id buffer, ``n`` the number of
+    generated tokens so far (committed frontier is index ``p + n - 1``).
+    Shared by the greedy (``lookup_decode``) and exact-distribution sampling
+    (``lookup_sample_decode``) speculative paths."""
+    b, cap = buf.shape
+    S = spec_tokens
+    W = cap - ngram + 1  # candidate window starts for the n-gram match
+    ctx = jax.lax.dynamic_slice(buf, (0, jnp.maximum(p + n - ngram, 0)), (b, ngram))
+    match = jnp.ones((b, W), bool)
+    for g in range(ngram):
+        match &= buf[:, g : g + W] == ctx[:, g : g + 1]
+    t_idx = jnp.arange(W)
+    # strictly before the trailing occurrence itself; windows past the
+    # committed frontier hold stale/zero bytes and are excluded
+    valid = match & (t_idx[None, :] < (p + n - ngram))
+    m = jnp.max(jnp.where(valid, t_idx[None, :], -1), axis=-1)  # (b,)
+    start = jnp.where(m >= 0, m + ngram, jnp.maximum(p + n - 1, 0))
+    idx = jnp.clip(start[:, None] + jnp.arange(S)[None, :], 0, cap - 1)
+    gathered = jnp.take_along_axis(buf, idx, axis=1)
+    # positions at/past the committed frontier (p+n-1 is the last
+    # committed token) hold stale/zero bytes — substitute the last token
+    # so the no-match fallback and frontier-overlapping continuations
+    # draft repetition instead of garbage (wasted verify slots)
+    last = jax.lax.dynamic_slice(buf, (0, p + n - 1), (b, 1))
+    return jnp.where(idx <= (p + n - 1), gathered, last)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _lookup_decode_impl(
     model: "LlamaLM",
@@ -367,29 +397,8 @@ def _lookup_decode_impl(
     buf = jax.lax.dynamic_update_slice(buf, t0[:, None], (0, p))
     done = t0 == eos_token_id
 
-    W = cap - ngram + 1  # candidate window starts for the n-gram match
-
     def propose(buf, n):
-        """(b, S) draft tokens: continuation of the LAST earlier occurrence
-        of the trailing ngram; falls back to repeating the last token."""
-        ctx = jax.lax.dynamic_slice(buf, (0, jnp.maximum(p + n - ngram, 0)), (b, ngram))
-        match = jnp.ones((b, W), bool)
-        for g in range(ngram):
-            match &= buf[:, g : g + W] == ctx[:, g : g + 1]
-        t_idx = jnp.arange(W)
-        # strictly before the trailing occurrence itself; windows past the
-        # committed frontier hold stale/zero bytes and are excluded
-        valid = match & (t_idx[None, :] < (p + n - ngram))
-        m = jnp.max(jnp.where(valid, t_idx[None, :], -1), axis=-1)  # (b,)
-        start = jnp.where(m >= 0, m + ngram, jnp.maximum(p + n - 1, 0))
-        idx = jnp.clip(start[:, None] + jnp.arange(S)[None, :], 0, cap - 1)
-        gathered = jnp.take_along_axis(buf, idx, axis=1)
-        # positions at/past the committed frontier (p+n-1 is the last
-        # committed token) hold stale/zero bytes — substitute the last token
-        # so the no-match fallback and frontier-overlapping continuations
-        # draft repetition instead of garbage (wasted verify slots)
-        last = jax.lax.dynamic_slice(buf, (0, p + n - 1), (b, 1))
-        return jnp.where(idx <= (p + n - 1), gathered, last)
+        return _propose_drafts(buf, n, p=p, ngram=ngram, spec_tokens=S)
 
     def cond(carry):
         _, _, n, done, _ = carry
@@ -540,3 +549,168 @@ def sample_decode(
     return _sample_decode_impl(
         model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id, rng, temperature, top_k, top_p
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10))
+def _lookup_sample_decode_impl(
+    model: "LlamaLM",
+    variables,
+    prompt_ids,
+    max_new_tokens: int,
+    eos_token_id: int,
+    rng,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+    ngram: int,
+    spec_tokens: int,
+):
+    """Prompt-lookup speculative SAMPLING — exact target distribution.
+
+    Same block structure as ``_lookup_decode_impl`` (one forward over the last
+    committed token + S prompt-lookup drafts per HBM weight sweep), but the
+    verify step is the deterministic-draft special case of speculative
+    rejection sampling (Leviathan et al. / Chen et al.): a draft token d at a
+    position with filtered target distribution p is accepted with probability
+    p(d) (the proposal is a point mass, so min(1, p/q) = p(d)); on the FIRST
+    rejection the replacement token is drawn from the residual p with d's mass
+    removed, renormalized; if all S drafts are accepted a bonus token is drawn
+    from the (S+1)-th position's full p.  Per committed position the marginal
+    law is exactly p — i.e. distributionally identical to ``sample_decode``
+    with the same temperature/top-k/top-p filtering (test-locked by an
+    empirical total-variation check, tests/test_llama.py).
+
+    Rows advance in lockstep (commit length = min acceptance across the
+    batch, +1 for the always-fresh sample); discarding a row's accepted
+    suffix beyond the global commit resamples it next iteration with fresh
+    randomness, which leaves per-position marginals unchanged.  RNG
+    consumption differs from ``sample_decode`` (accept/residual draws vs one
+    categorical per step), so sequences for a given key differ — equality is
+    in distribution, not bitwise.  Returns (ids, n_generated, iters).
+    """
+    b, p = prompt_ids.shape
+    S = int(spec_tokens)
+    total = p + max_new_tokens
+    cap = total + S + 1
+    eos = jnp.asarray(eos_token_id, prompt_ids.dtype)
+    cache = model.init_cache(b, cap)
+
+    buf = jnp.zeros((b, cap), prompt_ids.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0, 0))
+
+    def filtered(logits):
+        """f32 filtered logits (HF order: temperature, top-k, top-p)."""
+        return _filter_logits(logits.astype(jnp.float32) / temperature, top_k, top_p)
+
+    k0, rng = jax.random.split(rng)
+    logits, cache = model.apply(variables, prompt_ids, cache=cache, cache_index=jnp.asarray(0))
+    t0 = jax.random.categorical(k0, filtered(logits[:, -1]), axis=-1).astype(prompt_ids.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, t0[:, None], (0, p))
+    done = t0 == eos_token_id
+
+    def cond(carry):
+        _, _, n, done, _, _ = carry
+        return (n < max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        buf, cache, n, done, rng, it = carry
+        k_acc, k_res, rng = jax.random.split(rng, 3)
+        cur = jax.lax.dynamic_slice(buf, (0, p + n - 1), (b, 1))
+        drafts = _propose_drafts(buf, n, p=p, ngram=ngram, spec_tokens=S)  # (b, S)
+        x = jnp.concatenate([cur, drafts], axis=1)  # (b, 1+S)
+        logits, cache = model.apply(variables, x, cache=cache, cache_index=p + n - 1)
+        probs = jax.nn.softmax(filtered(logits), axis=-1)  # (b, 1+S, V)
+
+        # accept draft j (verified by position j's distribution) w.p. p_j(d_j)
+        p_draft = jnp.take_along_axis(probs[:, :S], drafts[..., None], axis=-1)[..., 0]  # (b, S)
+        u = jax.random.uniform(k_acc, (b, S))
+        ok = jnp.cumprod((u < p_draft).astype(jnp.int32), axis=1)  # leading accepts
+        acc_row = jnp.where(done, S, jnp.sum(ok, axis=1))  # (b,) in [0, S]
+
+        # fresh sample at offset acc_row: residual (draft's mass removed) on
+        # rejection, full distribution for the bonus position acc_row == S
+        p_sel = jnp.take_along_axis(probs, acc_row[:, None, None], axis=1)[:, 0]  # (b, V)
+        draft_at = jnp.take_along_axis(
+            jnp.concatenate([drafts, drafts[:, -1:]], axis=1), acc_row[:, None], axis=1
+        )  # (b, 1); value irrelevant when acc_row == S
+        vocab = jnp.arange(probs.shape[-1])[None, :]
+        residual = jnp.where((acc_row[:, None] < S) & (vocab == draft_at), 0.0, p_sel)
+        repl = jax.random.categorical(k_res, jnp.log(residual), axis=-1).astype(buf.dtype)  # (b,)
+
+        slot = jnp.arange(1 + S)[None, :]
+        drafts_ext = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)  # (b, 1+S)
+        out = jnp.where(slot == acc_row[:, None], repl[:, None], drafts_ext)
+        # slots < acc_row are accepted drafts; slots > acc_row are never
+        # committed (global commit stops at min acceptance + 1)
+
+        # force eos from the first committed eos onward (and for done rows)
+        eos_hit = out == eos
+        prior_eos = jnp.cumsum(eos_hit, axis=1) - eos_hit.astype(jnp.int32) > 0
+        out = jnp.where(done[:, None] | prior_eos, eos, out)
+
+        acc = jnp.min(acc_row)  # lockstep commit of acc+1 tokens
+        buf = jax.lax.dynamic_update_slice(buf, out, (0, p + n))
+        done = done | jnp.any((slot <= acc) & (out == eos), axis=1)
+        return buf, cache, n + acc + 1, done, rng, it + 1
+
+    buf, _, n, done, _, iters = jax.lax.while_loop(
+        cond, body, (buf, cache, jnp.asarray(1), done, rng, jnp.asarray(0))
+    )
+    # all-done early exit leaves an uncommitted tail: decode emits eos forever
+    buf = jnp.where(jnp.arange(cap)[None, :] >= p + n, eos, buf)
+    return buf[:, :total], n, iters
+
+
+def lookup_sample_decode(
+    model: LlamaLM,
+    variables,
+    prompt_ids: jax.Array,
+    max_new_tokens: int,
+    eos_token_id: int = 1,
+    rng: Optional[jax.Array] = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    ngram: int = 2,
+    spec_tokens: int = 7,
+    return_stats: bool = False,
+):
+    """Prompt-lookup speculative sampling — the sampled counterpart of
+    ``lookup_decode``.  Commits multiple tokens per HBM weight sweep while
+    drawing every committed token from EXACTLY the same filtered distribution
+    as ``sample_decode`` (deterministic-draft rejection sampling; see
+    ``_lookup_sample_decode_impl``).  ``temperature=0`` delegates to the
+    greedy speculative path (bit-identical to ``greedy_decode``).
+
+    One jitted program.  ``return_stats=True`` additionally returns
+    ``{"iterations", "generated", "tokens_per_iteration"}`` acceptance
+    telemetry (benchmarks/bench_lm.py A/Bs this against ``sample_decode``).
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    if temperature == 0.0:
+        ids, n, iters = _lookup_decode_impl(
+            model, variables, jnp.asarray(prompt_ids), max_new_tokens, eos_token_id, ngram, spec_tokens
+        )
+    else:
+        ids, n, iters = _lookup_sample_decode_impl(
+            model,
+            variables,
+            jnp.asarray(prompt_ids),
+            max_new_tokens,
+            eos_token_id,
+            rng,
+            temperature,
+            top_k,
+            top_p,
+            ngram,
+            spec_tokens,
+        )
+    if not return_stats:
+        return ids
+    n, iters = int(n), int(iters)
+    return ids, {
+        "iterations": iters,
+        "generated": n,
+        "tokens_per_iteration": round(n / max(iters, 1), 3),
+    }

@@ -3,9 +3,11 @@
 GSLM-style generation composed from the existing stack: deduplicated unit
 ids map to printable unicode (text/units.py, reference utils.py:28-46
 parity), BPE-encode to LM tokens (+num_special_tokens shift, the
-UnitTextDataset convention), continue with the KV-cached ``sample_decode``
-(temperature / top-k / nucleus), then invert the mapping and optionally
-vocode through the duration-predicting CFM+HiFi-GAN decoder.
+UnitTextDataset convention), continue with the KV-cached speculative
+decoders (``lookup_decode`` greedy / ``lookup_sample_decode`` with
+temperature / top-k / nucleus — exactly ``sample_decode``'s distribution),
+then invert the mapping and optionally vocode through the
+duration-predicting CFM+HiFi-GAN decoder.
 
 Beyond the reference capability set — its speech LM only *scores*
 sWUGGY/sBLIMP pairs (/root/reference/src/speechlm/eval.py); it never
@@ -19,7 +21,7 @@ from typing import List, Optional, Sequence
 import jax
 import numpy as np
 
-from ..models.llama import LlamaLM, lookup_decode, sample_decode
+from ..models.llama import LlamaLM, lookup_decode, lookup_sample_decode
 from ..text.units import unicode_to_units, units_to_unicode
 
 
@@ -57,7 +59,10 @@ def generate_unit_continuation(
         # HBM weight sweeps when the unit stream repeats
         seq = lookup_decode(model, variables, prompt, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
     else:
-        seq = sample_decode(
+        # exact-distribution speculative sampling: same filtered target law
+        # as sample_decode (TV-test-locked), fewer HBM sweeps on repetitive
+        # unit streams (models/llama.py:lookup_sample_decode)
+        seq = lookup_sample_decode(
             model,
             variables,
             prompt,

@@ -240,3 +240,83 @@ def test_scan_layers_matches_unrolled():
     lg_d, new_cache = scan.apply({"params": stacked}, ids, None, cache=cache, cache_index=jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(lg_d), np.asarray(lg_b), rtol=1e-4, atol=1e-4)
     assert new_cache["k"].shape[0] == cfg.num_hidden_layers
+
+
+def test_lookup_sample_temperature0_delegates_to_greedy(models):
+    cfg, _, model, variables = models
+    prompt = jnp.asarray([[2, 3, 4], [5, 6, 7]])
+    ref = np.asarray(L.greedy_decode(model, variables, prompt, max_new_tokens=8, eos_token_id=cfg.eos_token_id))
+    got = np.asarray(
+        L.lookup_sample_decode(
+            model, variables, prompt, max_new_tokens=8, eos_token_id=cfg.eos_token_id, temperature=0.0
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_lookup_sample_topk1_equals_greedy(models):
+    """top_k=1 makes every filtered distribution one-hot: the accept test
+    passes iff the draft IS the argmax (p(d)=1) and every fresh draw is the
+    argmax — the speculative sampling path must reproduce greedy bit-exactly,
+    deterministically exercising accept, reject/residual, and bonus branches."""
+    cfg, _, model, variables = models
+    for prompt in (jnp.asarray([[2, 3, 4], [5, 6, 7]]), jnp.asarray([[8, 9, 10, 11, 12, 9, 10, 11]])):
+        ref = np.asarray(
+            L.greedy_decode(model, variables, prompt, max_new_tokens=16, eos_token_id=cfg.eos_token_id)
+        )
+        for ngram, spec in ((2, 7), (2, 3), (3, 2)):
+            got = np.asarray(
+                L.lookup_sample_decode(
+                    model, variables, prompt, max_new_tokens=16, eos_token_id=cfg.eos_token_id,
+                    rng=jax.random.key(3), temperature=0.7, top_k=1, ngram=ngram, spec_tokens=spec,
+                )
+            )
+            np.testing.assert_array_equal(got, ref, err_msg=f"ngram={ngram} spec={spec}")
+
+
+def test_lookup_sample_reproducible_and_valid(models):
+    cfg, _, model, variables = models
+    prompt = jnp.asarray([[2, 3, 4]])
+    kw = dict(max_new_tokens=6, eos_token_id=cfg.eos_token_id, temperature=1.3, top_k=8, top_p=0.9)
+    a, stats = L.lookup_sample_decode(model, variables, prompt, rng=jax.random.key(5), return_stats=True, **kw)
+    b = L.lookup_sample_decode(model, variables, prompt, rng=jax.random.key(5), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same rng -> same draw
+    assert a.shape == (1, 9)
+    ids = np.asarray(a)
+    assert (ids >= 0).all() and (ids < cfg.vocab_size).all()
+    np.testing.assert_array_equal(ids[:, :3], np.asarray(prompt))
+    row = ids[0, 3:]
+    hits = np.where(row == cfg.eos_token_id)[0]
+    if hits.size:
+        assert (row[hits[0]:] == cfg.eos_token_id).all()
+    # generated may stop short of max_new_tokens when every row hits EOS
+    assert 1 <= stats["generated"] and stats["iterations"] >= 1
+
+
+def test_lookup_sample_matches_sample_decode_distribution(models):
+    """Exactness of the speculative sampling scheme: per-position marginals of
+    lookup_sample_decode equal sample_decode's (deterministic-draft rejection
+    sampling preserves the filtered target law).  Empirical TV distance over a
+    large batch is compared against the TV between two independent
+    sample_decode runs (the sampling-noise floor)."""
+    cfg, _, model, variables = models
+    N, P, T = 4096, 5, 4
+    prompt = jnp.tile(jnp.asarray([[2, 3, 4, 2, 3]]), (N, 1))
+    kw = dict(max_new_tokens=T, eos_token_id=cfg.eos_token_id, temperature=0.8, top_k=8, top_p=0.9)
+    ref = np.asarray(L.sample_decode(model, variables, prompt, rng=jax.random.key(0), **kw))[:, P:]
+    ctl = np.asarray(L.sample_decode(model, variables, prompt, rng=jax.random.key(1), **kw))[:, P:]
+    got = np.asarray(
+        L.lookup_sample_decode(
+            model, variables, prompt, rng=jax.random.key(2), ngram=2, spec_tokens=3, **kw
+        )
+    )[:, P:]
+
+    def tv(a, b, t):
+        ha = np.bincount(a[:, t], minlength=cfg.vocab_size) / len(a)
+        hb = np.bincount(b[:, t], minlength=cfg.vocab_size) / len(b)
+        return 0.5 * float(np.abs(ha - hb).sum())
+
+    for t in range(T):
+        noise = tv(ref, ctl, t)
+        dist = tv(ref, got, t)
+        assert dist <= max(3.0 * noise, 0.06), f"t={t}: TV(spec, ancestral)={dist:.4f}, noise floor={noise:.4f}"
