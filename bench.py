@@ -137,6 +137,20 @@ def main():
         "mulaw (8-bit G.711-style companding, half the drain bytes — dsp/mulaw.py)",
     )
     parser.add_argument(
+        "--ode",
+        choices=("euler", "midpoint"),
+        default="euler",
+        help="ODE integrator: euler (default, the reference-parity cross-round protocol) or "
+        "midpoint (2nd order — pair with a larger --dt for matched accuracy at fewer "
+        "velocity evals; models/cfm.py)",
+    )
+    parser.add_argument(
+        "--dt",
+        type=float,
+        default=0.0625,
+        help="ODE step size (default 0.0625 = 16 steps, the reference inference setting)",
+    )
+    parser.add_argument(
         "--tiny", action="store_true", help="test-size configs for a CPU smoke run (timings meaningless)"
     )
     parser.add_argument(
@@ -212,7 +226,9 @@ def main():
 
     def run(rng):
         # device-side wire-format conversion (int16 PCM or uint8 mu-law)
-        return decoder.synthesize(ids, dt=0.0625, truncation_value=1.0, rng=rng, pcm16=pcm16, mulaw=mulaw)
+        return decoder.synthesize(
+            ids, dt=args.dt, truncation_value=1.0, rng=rng, pcm16=pcm16, mulaw=mulaw, ode_method=args.ode
+        )
 
     # warmup/compile; NOTE: on the tunneled 'axon' platform
     # block_until_ready does not actually synchronize — timing is based on
@@ -256,6 +272,8 @@ def main():
             "units": units_per_seq,
             "weights": "pretrained" if args.pretrained else "random",
             "wire": args.wire,
+            "ode": args.ode,
+            "dt": args.dt,
         }
         if extra:
             out.update(extra)
@@ -326,7 +344,14 @@ def main():
         try:
             flops = compiled_flops(
                 decoder._synth.lower(
-                    ids, jax.random.key(0), dt=0.0625, truncation_value=1.0, max_frames=None, pcm16=pcm16, mulaw=mulaw
+                    ids,
+                    jax.random.key(0),
+                    dt=args.dt,
+                    truncation_value=1.0,
+                    max_frames=None,
+                    pcm16=pcm16,
+                    mulaw=mulaw,
+                    ode_method=args.ode,
                 ).compile()
             )
         except Exception:

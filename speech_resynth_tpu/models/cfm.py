@@ -193,8 +193,9 @@ class ConditionalFlowMatchingModel(nn.Module):
         rng: Optional[jax.Array] = None,
         max_frames: Optional[int] = None,
         x0: Optional[jax.Array] = None,
+        ode_method: str = "euler",
     ) -> Tuple[jax.Array, jax.Array]:
-        """Euler-ODE mel synthesis (models.py:132-189 semantics).
+        """Fixed-step ODE mel synthesis (models.py:132-189 semantics).
 
         Returns (log_mels, frame_mask); pad frames hold log(1e-5).
         ``max_frames``: static output length when predict_duration expands the
@@ -203,6 +204,13 @@ class ConditionalFlowMatchingModel(nn.Module):
         is impossible, so callers MUST pass ``max_frames`` (composite.py runs
         the ``predict_durations`` pre-pass to compute it) — a ValueError here
         beats the reference-diverging silent truncation.
+
+        ``ode_method``: ``"euler"`` (reference parity, models.py:172-184; one
+        velocity eval per step) or ``"midpoint"`` (explicit midpoint / RK2,
+        two evals per step but second-order accurate — integrates the SAME
+        trained flow to a given accuracy in about half the velocity evals;
+        test-locked order + NFE-matched accuracy in tests/test_cfm.py).
+        Beyond the reference capability set, which is Euler-only.
         """
         cfg = self.config
         token_mask = input_ids != 0
@@ -240,14 +248,27 @@ class ConditionalFlowMatchingModel(nn.Module):
         num_steps = int(np.ceil(round(1.0 / dt, 9)))
         step_times = jnp.arange(num_steps, dtype=jnp.float32) * dt
 
-        def euler_step(mdl, xt, t):
-            times = jnp.full((bsz,), t, jnp.float32)
-            vt = mdl._velocity(xt, cond, times, mask)
-            return xt + vt * dt, ()
+        if ode_method == "euler":
+
+            def ode_step(mdl, xt, t):
+                times = jnp.full((bsz,), t, jnp.float32)
+                vt = mdl._velocity(xt, cond, times, mask)
+                return xt + vt * dt, ()
+
+        elif ode_method == "midpoint":
+
+            def ode_step(mdl, xt, t):
+                times = jnp.full((bsz,), t, jnp.float32)
+                v1 = mdl._velocity(xt, cond, times, mask)
+                vm = mdl._velocity(xt + v1 * (0.5 * dt), cond, times + 0.5 * dt, mask)
+                return xt + vm * dt, ()
+
+        else:
+            raise ValueError(f"unknown ode_method {ode_method!r} (euler|midpoint)")
 
         # lifted scan: all ODE steps compile into one XLA while-program
         xt, _ = nn.scan(
-            euler_step,
+            ode_step,
             variable_broadcast=["params", "buffers"],
             split_rngs={"params": False},
         )(self, x0, step_times)

@@ -54,7 +54,8 @@ class ConditionalFlowMatchingWithHifiGan:
 
     def __post_init__(self):
         self._synth = jax.jit(
-            self._synthesize, static_argnames=("dt", "truncation_value", "max_frames", "pcm16", "mulaw")
+            self._synthesize,
+            static_argnames=("dt", "truncation_value", "max_frames", "pcm16", "mulaw", "ode_method"),
         )
         self._predict_durations = jax.jit(
             lambda ids: self.model.apply(self.model_variables, ids, method="predict_durations")
@@ -166,6 +167,7 @@ class ConditionalFlowMatchingWithHifiGan:
         max_frames: Optional[int],
         pcm16: bool = False,
         mulaw: bool = False,
+        ode_method: str = "euler",
     ) -> Tuple[jax.Array, jax.Array]:
         if pcm16 and mulaw:
             # both are static args, so this raises at trace time, not per call
@@ -177,6 +179,7 @@ class ConditionalFlowMatchingWithHifiGan:
             truncation_value=truncation_value,
             rng=rng,
             max_frames=max_frames,
+            ode_method=ode_method,
             method="sample",
         )
         spectrogram_lengths = jnp.sum(frame_mask.astype(jnp.int32), axis=1)
@@ -219,11 +222,14 @@ class ConditionalFlowMatchingWithHifiGan:
         max_frames: Optional[int] = None,
         pcm16: bool = False,
         mulaw: bool = False,
+        ode_method: str = "euler",
     ) -> Tuple[jax.Array, jax.Array]:
         """Batched jitted path: (padded waveforms (B, Tmax), lengths (B,)).
 
         ``pcm16=True`` returns int16 samples; ``mulaw=True`` returns uint8
-        mu-law codes (both device-side conversions — see dsp/mulaw.py)."""
+        mu-law codes (both device-side conversions — see dsp/mulaw.py).
+        ``ode_method="midpoint"`` integrates the flow second-order (half the
+        velocity evals for matched accuracy — see CFMConfig.sample)."""
         if rng is None:
             rng = jax.random.key(0)
         if max_frames is None and self.model.config.predict_duration:
@@ -236,6 +242,7 @@ class ConditionalFlowMatchingWithHifiGan:
             max_frames=max_frames,
             pcm16=pcm16,
             mulaw=mulaw,
+            ode_method=ode_method,
         )
 
     def __call__(
@@ -245,10 +252,11 @@ class ConditionalFlowMatchingWithHifiGan:
         truncation_value: Optional[float] = None,
         rng: Optional[jax.Array] = None,
         max_frames: Optional[int] = None,
+        ode_method: str = "euler",
     ) -> List[np.ndarray]:
         """Reference-signature path (models.py:223-256): list of (1, T_i)
         trimmed waveforms."""
-        waveform, lengths = self.synthesize(input_ids, dt, truncation_value, rng, max_frames)
+        waveform, lengths = self.synthesize(input_ids, dt, truncation_value, rng, max_frames, ode_method=ode_method)
         waveform = np.asarray(waveform)
         lengths = np.asarray(lengths)
         return [w[None, :l] for w, l in zip(waveform, lengths)]

@@ -224,3 +224,88 @@ def test_dropout_active_in_training_mode():
     assert a != b  # different dropout masks -> different losses
     assert det1 == det2  # deterministic path is rng-free and stable
     assert det1 not in (a, b)
+
+
+class _AnalyticCFM(ConditionalFlowMatchingModel):
+    """Velocity field replaced by the analytic v(x, t) = cos(2*pi*t) - x so
+    the ODE integrators can be checked against a closed-form solution:
+    x(t) = x0*exp(-t) + (cos(2*pi*t) + 2*pi*sin(2*pi*t) - exp(-t)) / (1 + 4*pi^2)."""
+
+    def _velocity(self, xt, cond, times, mask, deterministic=True):
+        return jnp.cos(2 * np.pi * times)[:, None, None] - xt
+
+
+def _analytic_solution(x0, t):
+    w = 2 * np.pi
+    return x0 * np.exp(-t) + (np.cos(w * t) + w * np.sin(w * t) - np.exp(-t)) / (1 + w * w)
+
+
+def test_ode_midpoint_is_second_order():
+    """Integrator math, isolated from the network: on an analytic field the
+    midpoint rule's error shrinks ~4x when dt halves (order 2) while Euler's
+    shrinks ~2x (order 1), and midpoint beats Euler at EQUAL velocity-eval
+    budget (midpoint dt=1/8 = 16 evals vs Euler dt=1/16 = 16 evals)."""
+    cfg = tiny_config()
+    model = _AnalyticCFM(cfg, policy=FLOAT32, attn_implementation="xla")
+    B, N = 1, 6
+    ids = jnp.ones((B, N), jnp.int32)
+    mels = jnp.zeros((B, N, cfg.dim_in), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, ids, mels, jnp.ones((B, N), jnp.int32), rng=jax.random.key(1))
+
+    x0 = jax.random.normal(jax.random.key(2), (B, N, cfg.dim_in), jnp.float32)
+    # x(1) in NORMALIZED space; sample() returns x*std + mean with pad fill
+    truth = _analytic_solution(np.asarray(x0), 1.0) * cfg.std + cfg.mean
+
+    def err(dt, method):
+        mels, _ = model.apply(variables, ids, dt=dt, x0=x0, ode_method=method, method="sample")
+        return float(np.max(np.abs(np.asarray(mels) - truth)))
+
+    e_eu_16, e_eu_32 = err(1 / 16, "euler"), err(1 / 32, "euler")
+    e_mid_8, e_mid_16 = err(1 / 8, "midpoint"), err(1 / 16, "midpoint")
+
+    assert 1.6 < e_eu_16 / e_eu_32 < 2.6, (e_eu_16, e_eu_32)      # order 1
+    assert 3.2 < e_mid_8 / e_mid_16 < 5.2, (e_mid_8, e_mid_16)    # order 2
+    # equal-NFE comparison: 16 velocity evals each
+    assert e_mid_8 < e_eu_16 / 4, (e_mid_8, e_eu_16)
+
+
+def test_ode_midpoint_beats_euler_on_real_field_at_half_nfe():
+    """On the actual (random-weight) transformer velocity field, midpoint with
+    8 velocity evals (dt=1/4) integrates the flow closer to the converged
+    solution than the reference's Euler-16 (dt=1/16) — the basis for the
+    half-NFE serving option (PARITY.md)."""
+    model, variables, cfg = make_model()
+    ids = jnp.ones((2, 8), jnp.int32) * 3
+    x0 = jax.random.normal(jax.random.key(7), (2, 8, cfg.dim_in), jnp.float32)
+
+    def run(dt, method):
+        mels, _ = model.apply(variables, ids, dt=dt, x0=x0, ode_method=method, method="sample")
+        return np.asarray(mels)
+
+    ref = run(1 / 512, "midpoint")  # converged flow
+    e_euler16 = np.max(np.abs(run(1 / 16, "euler") - ref))
+    e_mid4 = np.max(np.abs(run(1 / 4, "midpoint") - ref))
+    assert e_mid4 < e_euler16, (e_mid4, e_euler16)
+
+
+def test_ode_method_plumbs_through_composite():
+    from speech_resynth_tpu.models.composite import ConditionalFlowMatchingWithHifiGan
+    from speech_resynth_tpu.models.hifigan import HifiGanConfig
+
+    voc = HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=16,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    decoder = ConditionalFlowMatchingWithHifiGan.from_config(tiny_config(), voc, policy=FLOAT32)
+    ids = jnp.ones((1, 6), jnp.int32) * 2
+    wav_e, len_e = decoder.synthesize(ids, dt=0.25, rng=jax.random.key(0))
+    wav_m, len_m = decoder.synthesize(ids, dt=0.25, rng=jax.random.key(0), ode_method="midpoint")
+    assert wav_e.shape == wav_m.shape
+    np.testing.assert_array_equal(np.asarray(len_e), np.asarray(len_m))
+    assert np.any(np.asarray(wav_e) != np.asarray(wav_m))  # different integrator, same flow
+    with pytest.raises(ValueError, match="ode_method"):
+        decoder.synthesize(ids, dt=0.25, rng=jax.random.key(0), ode_method="rk7")
