@@ -241,7 +241,7 @@ def run_e2e_quality(workdir: str | Path, scale: str = "ci") -> Dict:
         rng=jax.random.key(2),
     )
 
-    def cfm_eval(variables) -> float:
+    def cfm_eval(variables, dt: float = 0.125, ode_method: str = "euler") -> float:
         errs = []
         for name in eval_names:
             ids = np.asarray(eval_ds[name]["units"], np.int32) + 1
@@ -249,13 +249,24 @@ def run_e2e_quality(workdir: str | Path, scale: str = "ci") -> Dict:
             ids = np.pad(ids, (0, EVAL_PAD_FRAMES - T))  # pad id 0 -> masked frames
             mel_gt = np.load(eval_corpus["spec_dir"] / (name + ".npy")).astype(np.float32)
             mel_hat, _ = model.apply(
-                variables, jnp.asarray(ids[None]), dt=0.125, truncation_value=1.0, rng=jax.random.key(5), method="sample"
+                variables,
+                jnp.asarray(ids[None]),
+                dt=dt,
+                truncation_value=1.0,
+                rng=jax.random.key(5),
+                ode_method=ode_method,
+                method="sample",
             )
             errs.append(_mel_l1(np.asarray(mel_hat)[0, :T], mel_gt))
         return float(np.mean(errs))
 
     results["cfm_mel_l1_untrained"] = cfm_eval(untrained_vars)
     results["cfm_mel_l1_trained"] = cfm_eval(cfm_vars)
+    # midpoint integrator on the SAME trained flow (models/cfm.py ode_method):
+    # equal-NFE (4 midpoint steps = 8 evals, matching euler dt=0.125) and
+    # half-NFE (2 steps = 4 evals) — quality evidence for the serving option
+    results["cfm_mel_l1_trained_midpoint_eqnfe"] = cfm_eval(cfm_vars, dt=0.25, ode_method="midpoint")
+    results["cfm_mel_l1_trained_midpoint_halfnfe"] = cfm_eval(cfm_vars, dt=0.5, ode_method="midpoint")
 
     # ---- full resynthesis: units -> CFM mel -> vocoder -> wav ------------
     dists = []
