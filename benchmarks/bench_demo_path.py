@@ -32,27 +32,68 @@ def main():
     parser.add_argument("--seconds", type=int, default=10)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--trials", type=int, default=5)
-    args = parser.parse_args()
+    parser.add_argument("--tiny", action="store_true", help="CPU smoke sizes (timings meaningless)")
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (host sitecustomize pins jax_platforms='axon,cpu')",
+    )
+    args, _ = parser.parse_known_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from speech_resynth_tpu.core.flaxinit import jitted_init
     from speech_resynth_tpu.core.precision import BF16_INFERENCE
     from speech_resynth_tpu.models.cfm import CFMConfig
     from speech_resynth_tpu.models.composite import ConditionalFlowMatchingWithHifiGan
     from speech_resynth_tpu.models.hubert import HubertConfig, HubertEncoder
     from speech_resynth_tpu.ops.codebook import assign
 
-    cfg = HubertConfig()
+    if args.tiny:
+        from speech_resynth_tpu.models.hifigan import HifiGanConfig
+
+        cfg = HubertConfig(
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            intermediate_size=64,
+            conv_dim=(16,) * 7,
+        )
+        cfm_cfg = CFMConfig(
+            vocab_size=2000,
+            dim_in=8,
+            dim_cond_emb=12,
+            hidden_size=16,
+            depth=2,
+            heads=2,
+            intermediate_size=24,
+            conv_pos_embed_kernel_size=7,
+            conv_pos_embed_groups=16,
+        )
+        voc_cfg = HifiGanConfig(
+            model_in_dim=8,
+            upsample_initial_channel=16,
+            upsample_rates=(5, 4),
+            upsample_kernel_sizes=(10, 8),
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        )
+        decoder = ConditionalFlowMatchingWithHifiGan.from_config(cfm_cfg, voc_cfg, policy=BF16_INFERENCE)
+    else:
+        cfg = HubertConfig()
+        decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
+
     encoder = HubertEncoder(cfg, policy=BF16_INFERENCE)
     batch, seconds = args.batch, args.seconds
     rng = np.random.default_rng(0)
     wav_in = jnp.asarray(rng.standard_normal((batch, seconds * 16000)), jnp.float32) * 0.1
-    enc_vars = encoder.init(jax.random.key(0), wav_in[:1, :16000])
+    enc_vars = jitted_init(encoder, jax.random.key(0), wav_in[:1, :16000])
     centers = jax.random.normal(jax.random.key(1), (2000, cfg.hidden_size), jnp.float32)
-
-    decoder = ConditionalFlowMatchingWithHifiGan.from_config(CFMConfig(vocab_size=2000), policy=BF16_INFERENCE)
 
     @jax.jit
     def encode(wav):
-        feats = encoder.apply(enc_vars, wav, output_layer=11)
+        feats = encoder.apply(enc_vars, wav, output_layer=min(11, cfg.num_hidden_layers))
         return (assign(feats, centers) + 1).astype(jnp.int32)  # +1 shift, 0 = pad
 
     def full(wav, key):

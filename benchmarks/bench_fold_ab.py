@@ -29,6 +29,10 @@ CANDIDATES = [
     ("unfolded+stage", {}, {}, True),
     ("f16:8,32:4+stage", {16: 8, 32: 4}, {}, True),
     ("f16:4,32:2+stage", {16: 4, 32: 2}, {}, True),
+    # round-5 block-sparse experiment (VERDICT r4 #4): per-phase-group
+    # matmuls over only the populated offset blocks of the folded weight
+    ("fold3-grouped", {16: 8, 32: 4, 64: 2}, {16: "grouped", 32: "grouped", 64: "grouped"}, False),
+    ("fold3-grouped16", {16: 8, 32: 4, 64: 2}, {16: "grouped"}, False),
 ]
 
 

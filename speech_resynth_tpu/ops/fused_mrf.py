@@ -55,13 +55,20 @@ LRELU_SLOPE = 0.1
 # theory (2x rows vs ~2x padded FLOPs) — the table is what measurement kept.
 MRF_FOLD_TABLE = {16: 8, 32: 4, 64: 2}
 
-# Per-channel-count contraction packing ("im2col" | "taps"), measured the
-# same in-context way (benchmarks/bench_fold_ab.py).  "im2col" copies n_s
-# offset-shifted input slices into one big contraction; "taps" instead runs
-# 2*fpad+1 dense (P*C, P*C) x (P*C, T) matmuls straight off the activation
-# buffer — more padded FLOPs but ZERO im2col copies (the VPU cost that
-# dominates the narrow stages once folding fills the output rows).
+# Per-channel-count contraction packing ("im2col" | "taps" | "grouped"),
+# measured the same in-context way (benchmarks/bench_fold_ab.py).  "im2col"
+# copies n_s offset-shifted input slices into one big contraction; "taps"
+# instead runs 2*fpad+1 dense (P*C, P*C) x (P*C, T) matmuls straight off the
+# activation buffer — more padded FLOPs but ZERO im2col copies (the VPU cost
+# that dominates the narrow stages once folding fills the output rows);
+# "grouped" splits the folded matmul into MRF_GROUPS phase-group matmuls that
+# each contract only the offset blocks their phases actually use (the folded
+# weight is mostly structural zeros — only K of n_s blocks per phase row) —
+# fewer padded FLOPs per group, at the cost of sub-128 output rows per matmul.
 MRF_PACK_TABLE: dict = {}
+
+# phase groups for "grouped" packing (must divide the fold)
+MRF_GROUPS: int = 2
 
 # Whole-stage fusion (all branches + mean in ONE kernel, _mrf_stage_kernel):
 # shares the input HBM read / f32 conversion / edge masks across branches
@@ -191,6 +198,53 @@ def _fold_weight(w: jax.Array, fold: int, d: int, used_s: Tuple[int, ...]) -> ja
     return z.transpose(0, 2, 1, 3).reshape(fold * co, len(used_s) * ci)
 
 
+def _group_plan(K: int, d: int, fold: int, used_s: Tuple[int, ...], n_groups: int):
+    """Per phase group: (first_phase, G, read_start_block, span) against the
+    GLOBAL im2col block order, with a uniform span (max over groups, starts
+    clamped) so the stacked group weight is one (n_groups, G*C, span*C) array.
+    Interior offsets a group never touches stay zero blocks in its weight."""
+    n_s = len(used_s)
+    index = {s: i for i, s in enumerate(used_s)}
+    G = fold // n_groups
+    pad = (K * d - d) // 2
+    raw = []
+    span = 0
+    for g in range(n_groups):
+        idxs = [index[p + t * d - pad] for p in range(g * G, (g + 1) * G) for t in range(K)]
+        lo, hi = min(idxs), max(idxs)
+        raw.append((g * G, G, lo))
+        span = max(span, hi - lo + 1)
+    return tuple((p0, G, min(lo, n_s - span), span) for p0, G, lo in raw)
+
+
+def _fold_weight_grouped(
+    w: jax.Array, fold: int, d: int, used_s: Tuple[int, ...], plan
+) -> jax.Array:
+    """(K, C_in, C_out) conv weight -> (n_groups, G*C_out, span*C_in).
+
+    Group g holds the block-Toeplitz rows of its G phases, with contraction
+    columns restricted to the offset-block window [read_start, read_start +
+    span) of the global im2col — the only blocks those phases' taps touch.
+    Semantically identical to slicing _fold_weight's output rows/columns."""
+    K, ci, co = w.shape
+    pad = (K * d - d) // 2
+    index = {s: i for i, s in enumerate(used_s)}
+    wt = jnp.transpose(w, (0, 2, 1))  # (K, C_out, C_in)
+    n_groups = len(plan)
+    G, span = plan[0][1], plan[0][3]
+    g_arr, p_arr, t_arr, col_arr = [], [], [], []
+    for g, (p0, G_, lo, _span) in enumerate(plan):
+        for pp in range(G_):
+            for t in range(K):
+                g_arr.append(g)
+                p_arr.append(pp)
+                t_arr.append(t)
+                col_arr.append(index[p0 + pp + t * d - pad] - lo)
+    z = jnp.zeros((n_groups, G, span, co, ci), w.dtype)
+    z = z.at[g_arr, p_arr, col_arr].set(wt[np.asarray(t_arr)])
+    return z.transpose(0, 1, 3, 2, 4).reshape(n_groups, G * co, span * ci)
+
+
 def _fold_weight_taps(w: jax.Array, fold: int, d: int, fpad: int) -> jax.Array:
     """(K, C_in, C_out) conv weight -> folded taps (2*fpad+1, fold*C_out, fold*C_in).
 
@@ -232,14 +286,19 @@ def _edge_mask(vals, start_col: int, w: int, *, base, P: int, C: int, seq_len: i
     return jnp.where((g >= 0) & (g < seq_len), vals, 0.0)
 
 
-def _im2col_conv(act, w_ref, used_s, fpad: int, o_w: int, *, im_buf, P: int, C: int):
-    """One folded conv on `act` (already lrelu'd/masked/cast) via the in-VMEM
-    im2col: offset s reads the input's phase-row r = s % P shifted by
-    q = s // P columns; output width o_w, f32 accumulation."""
+def _fill_im2col(act, used_s, fpad: int, o_w: int, *, im_buf, P: int, C: int):
+    """Pack the offset-shifted input slices into the in-VMEM im2col: offset s
+    reads the input's phase-row r = s % P shifted by q = s // P columns."""
     for k, s in enumerate(used_s):
         q, r = divmod(s, P)
         c0 = fpad + q
         im_buf[k * C : (k + 1) * C, pl.ds(0, o_w)] = act[r * C : (r + 1) * C, c0 : c0 + o_w]
+
+
+def _im2col_conv(act, w_ref, used_s, fpad: int, o_w: int, *, im_buf, P: int, C: int):
+    """One folded conv on `act` (already lrelu'd/masked/cast) via the in-VMEM
+    im2col; output width o_w, f32 accumulation."""
+    _fill_im2col(act, used_s, fpad, o_w, im_buf=im_buf, P=P, C=C)
     return jax.lax.dot_general(
         w_ref[...],
         im_buf[pl.ds(0, len(used_s) * C), pl.ds(0, o_w)],
@@ -248,14 +307,35 @@ def _im2col_conv(act, w_ref, used_s, fpad: int, o_w: int, *, im_buf, P: int, C: 
     )
 
 
+def _grouped_conv(act, w_ref, used_s, fpad: int, o_w: int, plan, *, im_buf, P: int, C: int):
+    """Block-sparse folded conv: same im2col as the dense path, then one
+    matmul per phase group contracting ONLY the offset-block window that
+    group's taps populate — skips most of the dense fold's structural-zero
+    FLOPs at the cost of G*C (< 128) output rows per matmul."""
+    _fill_im2col(act, used_s, fpad, o_w, im_buf=im_buf, P=P, C=C)
+    parts = []
+    for g, (_p0, _G, lo, span) in enumerate(plan):
+        parts.append(
+            jax.lax.dot_general(
+                w_ref[g],
+                im_buf[lo * C : (lo + span) * C, pl.ds(0, o_w)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
 def _conv_pair_chain(buf, h_buf, metas, n_pairs: int, w1_refs, w2_refs, b1_ref, b2_ref,
                      offset: int, width: int, slope: float, op_dtype, conv, masked) -> int:
     """Run one branch's (dilated conv → lrelu → conv → residual) pairs in
     place on `buf` starting at folded halo `offset`; returns the final
-    offset.  `conv`/`masked` are the kernel-local closures (taps or im2col
-    packing; block-local base)."""
+    offset.  `conv`/`masked` are the kernel-local closures (taps, im2col or
+    grouped packing; block-local base)."""
     for j in range(n_pairs):
-        used1, fpad1, used2, fpad2 = metas[j]
+        m = metas[j]
+        used1, fpad1, used2, fpad2 = m[:4]
+        plan1, plan2 = (m[4], m[5]) if len(m) > 4 else (None, None)
         in_w = width - 2 * offset
         mid_w = in_w - 2 * fpad1
         out_w = mid_w - 2 * fpad2
@@ -263,7 +343,7 @@ def _conv_pair_chain(buf, h_buf, metas, n_pairs: int, w1_refs, w2_refs, b1_ref, 
         xin = buf[:, pl.ds(offset, in_w)]
         act = jnp.where(xin > 0, xin, xin * slope)
         act = masked(act, offset, in_w).astype(op_dtype)
-        acc = conv(act, w1_refs[j], used1, fpad1, mid_w)
+        acc = conv(act, w1_refs[j], used1, fpad1, mid_w, plan1)
         acc += b1_ref[j].astype(jnp.float32)
         h_buf[:, pl.ds(0, mid_w)] = acc
 
@@ -271,7 +351,7 @@ def _conv_pair_chain(buf, h_buf, metas, n_pairs: int, w1_refs, w2_refs, b1_ref, 
         hmid = h_buf[:, pl.ds(0, mid_w)]
         act2 = jnp.where(hmid > 0, hmid, hmid * slope)
         act2 = masked(act2, offset + fpad1, mid_w).astype(op_dtype)
-        acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w)
+        acc2 = conv(act2, w2_refs[j], used2, fpad2, out_w, plan2)
         acc2 += b2_ref[j].astype(jnp.float32)
 
         # residual add against the matching center slice of the activation
@@ -330,7 +410,7 @@ def _mrf_kernel(
     def masked(vals, start_col, w):
         return _edge_mask(vals, start_col, w, base=base, P=P, C=C, seq_len=seq_len)
 
-    def conv(act, w_ref, used_s, fpad, o_w):
+    def conv(act, w_ref, used_s, fpad, o_w, plan=None):
         if packing == "taps":
             # no im2col buffer in taps mode: 2*fpad+1 dense matmuls read
             # straight off the activation at shifted column offsets
@@ -344,6 +424,8 @@ def _mrf_kernel(
                 )
                 acc = part if acc is None else acc + part
             return acc
+        if packing == "grouped":
+            return _grouped_conv(act, w_ref, used_s, fpad, o_w, plan, im_buf=im_buf, P=P, C=C)
         return _im2col_conv(act, w_ref, used_s, fpad, o_w, im_buf=im_buf, P=P, C=C)
 
     _conv_pair_chain(
@@ -400,7 +482,7 @@ def _mrf_stage_kernel(
     def masked(vals, start_col, w):
         return _edge_mask(vals, start_col, w, base=base, P=P, C=C, seq_len=seq_len)
 
-    def conv(act, w_ref, used_s, fpad, o_w):
+    def conv(act, w_ref, used_s, fpad, o_w, plan=None):
         return _im2col_conv(act, w_ref, used_s, fpad, o_w, im_buf=im_buf, P=P, C=C)
 
     for br, (w1_refs, w2_refs, b1_ref, b2_ref) in enumerate(branch_refs):
@@ -448,6 +530,14 @@ def _geometry(K: int, dilations: Sequence[int], fold: int, packing: str = "im2co
         ns_list = [2 * m[1] + 1 for m in metas] + [2 * m[3] + 1 for m in metas]
     else:
         ns_list = [len(m[0]) for m in metas] + [len(m[2]) for m in metas]
+    if packing == "grouped":
+        # extend each pair's meta with its two phase-group plans; ns_list
+        # (global offsets) stays the conservative VMEM bound — the grouped
+        # weights are strictly smaller and the im2col is unchanged
+        metas = tuple(
+            m + (_group_plan(K, d, fold, m[0], MRF_GROUPS), _group_plan(K, 1, fold, m[2], MRF_GROUPS))
+            for m, d in zip(metas, dilations)
+        )
     return metas, halo_f, ns_list
 
 
@@ -496,9 +586,11 @@ def mrf_branch_pallas(
     ``packing``: "im2col" (one matmul per conv over an in-VMEM im2col) or
     "taps" (2*fpad+1 dense (P*C, P*C) matmuls, no im2col buffer).
     """
-    if packing not in ("im2col", "taps"):
+    if packing not in ("im2col", "taps", "grouped"):
         raise ValueError(f"unknown packing {packing!r}")
     P = int(fold)
+    if packing == "grouped" and (P <= 1 or P % MRF_GROUPS != 0):
+        packing = "im2col"  # grouping needs >= MRF_GROUPS phases to split
     n_pairs, K, C, _ = w1.shape
     if K % 2 == 0:
         # the halo/tap bookkeeping assumes lax SAME's symmetric padding,
@@ -536,6 +628,9 @@ def mrf_branch_pallas(
     if packing == "taps":
         w1f = [_fold_weight_taps(w1[j], P, d, metas[j][1]) for j, d in enumerate(dilations)]
         w2f = [_fold_weight_taps(w2[j], P, 1, metas[j][3]) for j in range(n_pairs)]
+    elif packing == "grouped":
+        w1f = [_fold_weight_grouped(w1[j], P, d, metas[j][0], metas[j][4]) for j, d in enumerate(dilations)]
+        w2f = [_fold_weight_grouped(w2[j], P, 1, metas[j][2], metas[j][5]) for j in range(n_pairs)]
     else:
         w1f = [_fold_weight(w1[j], P, d, metas[j][0]) for j, d in enumerate(dilations)]
         w2f = [_fold_weight(w2[j], P, 1, metas[j][2]) for j in range(n_pairs)]

@@ -114,6 +114,52 @@ def test_headline_bench_budget_watchdog():
 
 
 @pytest.mark.slow
+def test_bench_demo_path_smoke():
+    # the composed wav->units->wav flagship flow (reference README.md:26-55)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks/bench_demo_path.py"), "--cpu", "--tiny",
+         "--batch", "2", "--seconds", "1", "--iters", "1", "--trials", "1"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(line) for line in out.stdout.splitlines() if line.startswith("{")]
+    (res,) = [r for r in rows if r.get("metric", "").startswith("demo_path")]
+    assert res["value"] > 0 and res["trials"] == 1
+
+
+@pytest.mark.slow
+def test_bench_lm_smoke():
+    """bench_lm --tiny exercises scoring, all six decode variants across the
+    three prompt regimes, AND the trained-grammar acceptance section."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks/bench_lm.py"), "--cpu", "--tiny"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(line) for line in out.stdout.splitlines() if line.startswith("{")]
+    (res,) = rows
+    for tag in ("random", "cyclic", "grammar"):
+        assert res[f"lookup_decode_{tag}_tok_per_iter"] >= 1.0, res
+        assert res[f"lookup_sample_{tag}_tokens_per_sec"] > 0, res
+    # a trained LM on the repeating unit grammar must beat the acceptance
+    # floor that untrained/random weights show on random prompts
+    assert res["lookup_decode_grammar_tok_per_iter"] > res["lookup_decode_random_tok_per_iter"], res
+    assert res["grammar_final_loss"] < 10.0, res
+
+
+@pytest.mark.slow
 def test_bench_fold_ab_smoke():
     # fold_ab takes --frames (not --units) and prints a text table + "best:"
     env = dict(os.environ)

@@ -249,7 +249,7 @@ def test_used_offsets_and_folded_pads():
     assert metas[0][3] == 1  # conv2 pad 5 -> 1
 
 
-@pytest.mark.parametrize("packing", ["im2col", "taps"])
+@pytest.mark.parametrize("packing", ["im2col", "taps", "grouped"])
 @pytest.mark.parametrize("P", [2, 4, 8])
 @pytest.mark.parametrize("C,K,T", [(16, 3, 100), (16, 11, 137)])
 def test_folded_interpret_matches_reference(P, C, K, T, packing):
@@ -337,6 +337,57 @@ def test_generator_folded_taps_matches_module():
 
     orig = dict(FM.MRF_PACK_TABLE)
     FM.MRF_PACK_TABLE.update({16: "taps", 32: "taps"})
+    try:
+        got = HG.generator_apply_fused(
+            variables["params"], cfg, mel, compute_dtype=jnp.float32, force_fused=True, interpret=True, mrf_fold=4
+        )
+    finally:
+        FM.MRF_PACK_TABLE.clear()
+        FM.MRF_PACK_TABLE.update(orig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("K,d", [(3, 1), (11, 3), (3, 5)])
+def test_fold_weight_grouped_equals_dense_slices(K, d):
+    """Each group's weight must be exactly the dense block-Toeplitz matrix
+    restricted to that group's phase rows and offset-block window (zeros
+    elsewhere in the window) — the grouped matmuls then sum to the dense one."""
+    C, P = 4, 8
+    w = jnp.asarray(np.random.default_rng(3).standard_normal((K, C, C)), jnp.float32)
+    used = FM._used_offsets(K, d, P)
+    plan = FM._group_plan(K, d, P, used, FM.MRF_GROUPS)
+    dense = np.asarray(FM._fold_weight(w, P, d, used))
+    grouped = np.asarray(FM._fold_weight_grouped(w, P, d, used, plan))
+    n_s = len(used)
+    for g, (p0, G, lo, span) in enumerate(plan):
+        assert 0 <= lo and lo + span <= n_s
+        rows = dense[p0 * C : (p0 + G) * C]
+        np.testing.assert_array_equal(grouped[g], rows[:, lo * C : (lo + span) * C])
+        # nothing of this group's rows lives outside its window
+        outside = np.concatenate([rows[:, : lo * C], rows[:, (lo + span) * C :]], axis=1)
+        np.testing.assert_array_equal(outside, np.zeros_like(outside))
+
+
+def test_generator_folded_grouped_matches_module():
+    """generator_apply_fused with the grouped packing table patched in must
+    stay waveform-exact."""
+    from speech_resynth_tpu.models import hifigan as HG
+
+    cfg = HG.HifiGanConfig(
+        model_in_dim=8,
+        upsample_initial_channel=64,
+        upsample_rates=(5, 4),
+        upsample_kernel_sizes=(10, 8),
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+    )
+    gen = HG.HifiGanGenerator(cfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 23, 8)), jnp.float32)
+    variables = gen.init(jax.random.key(0), mel)
+    ref = gen.apply(variables, mel)
+
+    orig = dict(FM.MRF_PACK_TABLE)
+    FM.MRF_PACK_TABLE.update({16: "grouped", 32: "grouped"})
     try:
         got = HG.generator_apply_fused(
             variables["params"], cfg, mel, compute_dtype=jnp.float32, force_fused=True, interpret=True, mrf_fold=4
