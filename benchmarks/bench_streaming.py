@@ -46,6 +46,12 @@ def main():
     parser.add_argument("--trials", type=int, default=5)
     parser.add_argument("--tiny", action="store_true", help="test-size config (smoke; timings meaningless)")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    parser.add_argument(
+        "--wire",
+        choices=("pcm16", "mulaw"),
+        default="pcm16",
+        help="device-side wire format (mulaw = 8-bit G.711-style codes, half the D2H bytes)",
+    )
     args = parser.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -114,7 +120,7 @@ def main():
 
     rng = np.random.default_rng(0)
     mel = rng.standard_normal((frames, cfg.model_in_dim)).astype(np.float32)
-    batch_fn = _window_fn(cfg, fused, "pcm16", policy)
+    batch_fn = _window_fn(cfg, fused, args.wire, policy)
     mel_dev = jnp.asarray(mel[None])
 
     def run_batch() -> float:
@@ -123,7 +129,7 @@ def main():
         return time.perf_counter() - t0
 
     def run_stream():
-        sv = StreamingVocoder(vvars, cfg, chunk_frames=chunk, policy=policy, fused=fused, wire="pcm16")
+        sv = StreamingVocoder(vvars, cfg, chunk_frames=chunk, policy=policy, fused=fused, wire=args.wire)
         t0 = time.perf_counter()
         ttfa = None
         n = 0
@@ -161,6 +167,7 @@ def main():
         "stream_overhead": round(med(stream_ms) / med(batch_ms), 3),
         "rtf_batch": round(audio_s / (med(batch_ms) / 1e3), 1),
         "rtf_stream": round(audio_s / (med(stream_ms) / 1e3), 1),
+        "wire": args.wire,
         "trials": args.trials,
     }
     print(json.dumps(result), flush=True)

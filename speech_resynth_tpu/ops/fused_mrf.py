@@ -65,6 +65,19 @@ MRF_FOLD_TABLE = {16: 8, 32: 4, 64: 2}
 # each contract only the offset blocks their phases actually use (the folded
 # weight is mostly structural zeros — only K of n_s blocks per phase row) —
 # fewer padded FLOPs per group, at the cost of sub-128 output rows per matmul.
+# Round-5 verdict on "grouped" (VERDICT r4 #4's last untried lever),
+# measured twice on v5e 2026-08-20: (1) the sequential whole-vocoder A/B
+# showed grouped 68-69 ms vs im2col fold3 98.65 ms — but fold3 ran first
+# and a *previous-day* calibration had fold3 at 70.53 ms, so that 30% was
+# cross-candidate tunnel drift, not the kernel; (2) the drift-immune
+# interleaved A/B inside the FULL serving program (bench_fold_ab.py
+# --serving, alternating trials, same process, PARITY.md round-5) measured
+# grouped 1713.7x vs im2col 1717.4x compute_rtf — NEUTRAL.  The
+# block-sparse contraction's padded-FLOP savings are exactly cancelled by
+# its sub-128-row group matmuls; im2col keeps production mileage.  The
+# grouped kernel + this gate stay for re-measurement on future hardware
+# (bench_fold_ab.py now interleaves candidates so sequential drift cannot
+# manufacture a winner again).
 MRF_PACK_TABLE: dict = {}
 
 # phase groups for "grouped" packing (must divide the fold)

@@ -175,3 +175,21 @@ def test_bench_fold_ab_smoke():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "best:" in out.stdout, out.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_bench_fold_ab_serving_smoke():
+    # --serving A/Bs im2col vs grouped inside the full synthesize program
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks/bench_fold_ab.py"), "--cpu", "--tiny", "--serving",
+         "--batch", "1", "--frames", "8", "--iters", "1", "--trials", "1"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "best:" in out.stdout, out.stdout[-2000:]
