@@ -73,7 +73,20 @@ def main():
         "0 skips the section)",
     )
     parser.add_argument("--iters", type=int, default=None, help="timing iterations (scoring 10 / decode 3)")
+    parser.add_argument(
+        "--grammar-only",
+        action="store_true",
+        help="grammar section only (implies --decode-only; skips the random/cyclic suites)",
+    )
+    parser.add_argument(
+        "--decode-only",
+        action="store_true",
+        help="skip the scoring/scan sections (the unrolled scoring compile alone can cost "
+        "15+ min of tunnel time) — decode + grammar suites only",
+    )
     args, _ = parser.parse_known_args()
+    if args.grammar_only:
+        args.decode_only = True
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -108,40 +121,48 @@ def main():
 
     ids = jnp.asarray(np.random.default_rng(0).integers(2, cfg.vocab_size, (B, L)), jnp.int32)
 
-    @jax.jit
-    def score(params, ids):
-        # params passed as an argument — a closure would inline 98M weights
-        # as HLO constants and blow the remote-compile request limit
-        logits, _ = model.apply({"params": params}, ids)
-        return sequence_pseudo_log_prob(logits, ids)
+    scoring = {}
+    if not args.decode_only:
+        @jax.jit
+        def score(params, ids):
+            # params passed as an argument — a closure would inline 98M weights
+            # as HLO constants and blow the remote-compile request limit
+            logits, _ = model.apply({"params": params}, ids)
+            return sequence_pseudo_log_prob(logits, ids)
 
-    t0 = time.perf_counter()
-    unrolled_warm = score(variables["params"], ids)
-    np.asarray(unrolled_warm)  # warmup; device_get forces real sync on axon
-    unrolled_compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        unrolled_warm = score(variables["params"], ids)
+        np.asarray(unrolled_warm)  # warmup; device_get forces real sync on axon
+        unrolled_compile_s = time.perf_counter() - t0
 
-    bound_score = lambda ids, _f=score, _p=variables["params"]: _f(_p, ids)
-    t0 = time.perf_counter()
-    for _ in range(score_iters):
-        np.asarray(bound_score(ids))
-    scoring_tps = score_iters * B * L / (time.perf_counter() - t0)
+        bound_score = lambda ids, _f=score, _p=variables["params"]: _f(_p, ids)
+        t0 = time.perf_counter()
+        for _ in range(score_iters):
+            np.asarray(bound_score(ids))
+        scoring_tps = score_iters * B * L / (time.perf_counter() - t0)
 
-    # scan-over-layers variant: one traced layer body -> compile-time delta
-    scan_model = LlamaLM(cfg, policy=BF16_INFERENCE, scan_layers=True)
-    stacked = jax.tree_util.tree_map(jnp.asarray, stack_llama_layers(variables["params"]))
+        # scan-over-layers variant: one traced layer body -> compile-time delta
+        scan_model = LlamaLM(cfg, policy=BF16_INFERENCE, scan_layers=True)
+        stacked = jax.tree_util.tree_map(jnp.asarray, stack_llama_layers(variables["params"]))
 
-    @jax.jit
-    def score_scan(params, ids):
-        logits, _ = scan_model.apply({"params": params}, ids)
-        return sequence_pseudo_log_prob(logits, ids)
+        @jax.jit
+        def score_scan(params, ids):
+            logits, _ = scan_model.apply({"params": params}, ids)
+            return sequence_pseudo_log_prob(logits, ids)
 
-    t0 = time.perf_counter()
-    np.asarray(score_scan(stacked, ids))
-    scan_compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(score_iters):
+        t0 = time.perf_counter()
         np.asarray(score_scan(stacked, ids))
-    scan_tps = score_iters * B * L / (time.perf_counter() - t0)
+        scan_compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(score_iters):
+            np.asarray(score_scan(stacked, ids))
+        scan_tps = score_iters * B * L / (time.perf_counter() - t0)
+        scoring = {
+            "value": round(scoring_tps, 0),
+            "scan_layers_tokens_per_sec": round(scan_tps, 0),
+            "compile_s_unrolled": round(unrolled_compile_s, 1),
+            "compile_s_scan_layers": round(scan_compile_s, 1),
+        }
 
     prompt = ids[:dec_B, :dec_prompt]
     samp_kw = dict(max_new_tokens=dec_new, temperature=0.9, top_k=64, top_p=0.95)
@@ -157,7 +178,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(dec_iters):
             np.asarray(greedy_decode(model, variables, prompt, max_new_tokens=dec_new))
-        out[f"decode_{tag}_tokens_per_sec"] = round(dec_iters * dec_B * dec_new / (time.perf_counter() - t0), 0)
+        out[f"decode_{tag}_tokens_per_sec"] = round(dec_iters * prompt.shape[0] * dec_new / (time.perf_counter() - t0), 0)
 
         tps, st = _time_decode(
             lambda p, return_stats=False: lookup_decode(model, variables, p, return_stats=return_stats, **lk),
@@ -171,7 +192,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(dec_iters):
             np.asarray(sample_decode(model, variables, prompt, rng=rng, **samp_kw))
-        out[f"sample_decode_{tag}_tokens_per_sec"] = round(dec_iters * dec_B * dec_new / (time.perf_counter() - t0), 0)
+        out[f"sample_decode_{tag}_tokens_per_sec"] = round(dec_iters * prompt.shape[0] * dec_new / (time.perf_counter() - t0), 0)
 
         tps, st = _time_decode(
             lambda p, return_stats=False: lookup_sample_decode(model, variables, p, rng=rng, return_stats=return_stats, **ls),
@@ -185,9 +206,10 @@ def main():
     # (a) random prompt, random weights: acceptance ~0 — pure overhead of the
     # S extra verify columns.  (b) cyclic: self-continuation prompt (greedy
     # output fed back) — deterministic acceptance upper bound.
-    results.update(decode_suite(variables, prompt, "random"))
-    cyc_prompt = greedy_decode(model, variables, prompt[:, :dec_prompt // 2], max_new_tokens=dec_prompt - dec_prompt // 2)
-    results.update(decode_suite(variables, cyc_prompt, "cyclic"))
+    if not args.grammar_only:
+        results.update(decode_suite(variables, prompt, "random"))
+        cyc_prompt = greedy_decode(model, variables, prompt[:, :dec_prompt // 2], max_new_tokens=dec_prompt - dec_prompt // 2)
+        results.update(decode_suite(variables, cyc_prompt, "cyclic"))
 
     # (c) GRAMMAR: train briefly on the unit-grammar corpus, then continue
     # held-out grammar prompts — the realistic repeating-unit-stream case
@@ -218,25 +240,45 @@ def main():
             state, metrics = step_fn(state, batch)
         final_loss = float(np.asarray(metrics["loss"]))
         grammar_train_s = time.perf_counter() - t0
-        trained = {"params": jax.device_get(state.params)}
+        # params must stay DEVICE-resident: a device_get here made every
+        # timed apply re-upload the full weight tree through the tunnel
+        # (measured: plain decode fell 17.8k -> 134 tok/s; r5 harness fix)
+        trained = {"params": state.params}
         grammar["grammar_train_steps"] = grammar_steps
         grammar["grammar_final_loss"] = round(final_loss, 3)
         grammar["grammar_train_s"] = round(grammar_train_s, 1)
 
         g_prompt = jnp.asarray(_grammar_rows(dec_B, dec_prompt, seed=7))
         results.update(decode_suite(trained, g_prompt, "grammar"))
+        # B=1 single-stream rows: the realistic speculative regime.  The
+        # batch path commits in LOCKSTEP at the MIN acceptance across rows
+        # (models/llama.py:_lookup_decode_impl), so at dec_B=16 one
+        # mismatching row stalls all 16 and tokens/iteration pins near 1 —
+        # the serving case for speculative decode is per-stream generation
+        # (pipeline/generate.py:continue_speech runs B=1).
+        results.update(decode_suite(trained, g_prompt[:1], "grammar_b1"))
+        # draft-block-size sweep at B=1: the verify block's per-iteration
+        # cost rises with S, so the break-even acceptance does too — S is a
+        # dispatch knob, measured like every other gate in this repo
+        for S in (2, 3):
+            tps, st = _time_decode(
+                lambda p, return_stats=False, _S=S: lookup_decode(
+                    model, trained, p, return_stats=return_stats,
+                    max_new_tokens=dec_new, eos_token_id=cfg.eos_token_id, ngram=2, spec_tokens=_S,
+                ),
+                g_prompt[:1], dec_iters, dec_new,
+            )
+            results[f"lookup_decode_grammar_b1_s{S}_tokens_per_sec"] = round(tps, 0)
+            results[f"lookup_decode_grammar_b1_s{S}_tok_per_iter"] = st["tokens_per_iteration"]
 
     print(
         json.dumps(
             {
                 "metric": "speech_lm_scoring_tokens_per_sec_per_chip",
-                "value": round(scoring_tps, 0),
                 "unit": "tokens/s",
+                **scoring,
                 **results,
                 **grammar,
-                "scan_layers_tokens_per_sec": round(scan_tps, 0),
-                "compile_s_unrolled": round(unrolled_compile_s, 1),
-                "compile_s_scan_layers": round(scan_compile_s, 1),
                 "vs_baseline": None,
             }
         )

@@ -451,6 +451,11 @@ def lookup_decode(
     ``greedy_decode`` (test-locked) in fewer sequential weight sweeps when
     the stream repeats (unit/BPE text does).  One jitted program.
 
+    Batching caveat: rows commit in LOCKSTEP at the MIN acceptance across
+    the batch, so acceptance (and the speedup) collapses as B grows — use
+    this for single-stream (B=1) generation, the ``continue_speech`` case;
+    measured B=1 vs B=16 rows in benchmarks/bench_lm.py (PARITY.md r5).
+
     ``return_stats=True`` additionally returns
     ``{"iterations", "generated", "tokens_per_iteration"}`` for acceptance
     telemetry (benchmarks/bench_lm.py A/Bs this against greedy_decode).
@@ -688,6 +693,8 @@ def lookup_sample_decode(
     One jitted program.  ``return_stats=True`` additionally returns
     ``{"iterations", "generated", "tokens_per_iteration"}`` acceptance
     telemetry (benchmarks/bench_lm.py A/Bs this against ``sample_decode``).
+    Same batching caveat as ``lookup_decode``: lockstep MIN-acceptance
+    commits make this a single-stream (B=1) tool, not a batch one.
     """
     if rng is None:
         rng = jax.random.key(0)

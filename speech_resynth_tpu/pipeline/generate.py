@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence
 import jax
 import numpy as np
 
-from ..models.llama import LlamaLM, lookup_decode, lookup_sample_decode
+from ..models.llama import LlamaLM, greedy_decode, lookup_decode, lookup_sample_decode, sample_decode
 from ..text.units import unicode_to_units, units_to_unicode
 
 
@@ -38,6 +38,7 @@ def generate_unit_continuation(
     top_k: int = 0,
     top_p: float = 1.0,
     rng: Optional[jax.Array] = None,
+    speculative: bool = False,
 ) -> np.ndarray:
     """Continue a deduplicated unit sequence; returns the GENERATED units.
 
@@ -53,16 +54,33 @@ def generate_unit_continuation(
         raise ValueError("prompt produced no BPE tokens (empty unit sequence?)")
     prompt = np.asarray([[t + num_special_tokens for t in bpe_ids]], np.int32)
 
-    if temperature == 0.0:
-        # greedy requests take the prompt-lookup speculative path — bit-
-        # identical outputs (test-locked vs greedy_decode), fewer sequential
-        # HBM weight sweeps when the unit stream repeats
-        seq = lookup_decode(model, variables, prompt, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
+    # Routing measured on v5e (benchmarks/bench_lm.py, PARITY.md round-5
+    # speculative-decode table): at the measured unit-grammar acceptance
+    # (1.5-1.6 tokens/iteration, B=1) the speculative verify block's ~2x
+    # per-iteration cost makes lookup decoding ~0.8x plain KV decode for
+    # every draft size tried — so plain decode is the DEFAULT and the
+    # speculative paths (bit-exact greedy / exact-distribution sampling,
+    # both test-locked) are opt-in for streams repetitive enough to clear
+    # the ~2 tokens/iteration break-even.
+    if speculative:
+        if temperature == 0.0:
+            seq = lookup_decode(model, variables, prompt, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
+        else:
+            seq = lookup_sample_decode(
+                model,
+                variables,
+                prompt,
+                max_new_tokens=max_new_tokens,
+                eos_token_id=eos_token_id,
+                rng=rng,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+            )
+    elif temperature == 0.0:
+        seq = greedy_decode(model, variables, prompt, max_new_tokens=max_new_tokens, eos_token_id=eos_token_id)
     else:
-        # exact-distribution speculative sampling: same filtered target law
-        # as sample_decode (TV-test-locked), fewer HBM sweeps on repetitive
-        # unit streams (models/llama.py:lookup_sample_decode)
-        seq = lookup_sample_decode(
+        seq = sample_decode(
             model,
             variables,
             prompt,
