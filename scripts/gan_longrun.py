@@ -236,10 +236,75 @@ def cmd_resume_check(args):
     assert h_control == h_resumed, "resumed run diverged from uninterrupted control"
 
 
+def cmd_resume_check_at(args):
+    """The resume-check design transplanted to the LAST checkpoint of an
+    existing long run (VERDICT r4 #2's "second kill/resume check at a late
+    boundary"): snapshot the run dir, then run two continuations of
+    ``--extend-steps`` from that state — control (uninterrupted) and
+    interrupted (SIGKILL'd at its first new checkpoint, then resumed) —
+    and require byte-identical exported generators.  Run AFTER the long
+    run has been stopped (the snapshot copies its checkpoint dir)."""
+    import shutil
+
+    workdir = Path(args.workdir)
+    src = workdir / args.run_name
+    spe = _steps_per_epoch(args.n_utts, args.batch)
+    ckpts = sorted(int(p.name) for p in (src / "ckpt").iterdir() if p.name.isdigit())
+    if not ckpts:
+        raise SystemExit(f"no checkpoints under {src}/ckpt")
+    s0 = ckpts[-1]
+    target = s0 + args.extend_steps
+    epochs = -(-target // spe)
+    ckpt_int = 64  # first new save lands mid-continuation -> the kill marker
+    for name in ("boundary_control", "boundary_interrupted"):
+        dst = workdir / name
+        if dst.exists():
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+    base = [sys.executable, __file__, "run", str(workdir), "--batch", str(args.batch),
+            "--n-utts", str(args.n_utts), "--epochs", str(epochs),
+            "--summary-interval", "1000000", "--val-interval", "1000000",
+            "--ckpt-interval", str(ckpt_int)]
+
+    def child(run_name):
+        return subprocess.Popen(base + ["--run-name", run_name])
+
+    print(f"[resume-check-at] boundary step {s0}, continuing to {epochs * spe}", flush=True)
+    p = child("boundary_control")
+    assert p.wait() == 0
+
+    p = child("boundary_interrupted")
+    ckpt_dir = workdir / "boundary_interrupted" / "ckpt"
+    kill_step = None
+    while p.poll() is None and kill_step is None:
+        time.sleep(0.5)
+        fresh = [int(q.name) for q in ckpt_dir.iterdir() if q.name.isdigit() and int(q.name) > s0]
+        if fresh:
+            kill_step = min(fresh)
+    if p.poll() is None:
+        time.sleep(10.0)  # let the ~900 MB async save finish committing
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait()
+        print(f"[resume-check-at] killed continuation at/after step {kill_step}", flush=True)
+    else:
+        raise SystemExit("continuation finished before any new checkpoint appeared")
+    p = child("boundary_interrupted")
+    assert p.wait() == 0
+
+    h_control = _hash_tree(workdir / "boundary_control" / "model.safetensors")
+    h_resumed = _hash_tree(workdir / "boundary_interrupted" / "model.safetensors")
+    verdict = {"boundary_step": s0, "kill_step": kill_step, "total_steps": epochs * spe,
+               "control_sha256": h_control[:16], "resumed_sha256": h_resumed[:16],
+               "step_exact": h_control == h_resumed}
+    print(json.dumps(verdict))
+    (workdir / "boundary_resume_check.json").write_text(json.dumps(verdict))
+    assert h_control == h_resumed, "resumed continuation diverged from uninterrupted control"
+
+
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "report", "resume-check"):
+    for name in ("run", "report", "resume-check", "resume-check-at"):
         s = sub.add_parser(name)
         s.add_argument("workdir")
         s.add_argument("--steps", type=int, default=50000)
@@ -250,11 +315,15 @@ def main():
         s.add_argument("--val-interval", type=int, default=5000)
         s.add_argument("--summary-interval", type=int, default=100)
         s.add_argument("--run-name", default="run")
+        s.add_argument("--extend-steps", type=int, default=128,
+                       help="resume-check-at: continuation length past the boundary checkpoint")
     args = parser.parse_args()
     if args.cmd == "run":
         cmd_run(args)
     elif args.cmd == "report":
         cmd_report(args)
+    elif args.cmd == "resume-check-at":
+        cmd_resume_check_at(args)
     else:
         cmd_resume_check(args)
 
