@@ -236,6 +236,43 @@ def cmd_resume_check(args):
     assert h_control == h_resumed, "resumed run diverged from uninterrupted control"
 
 
+def cmd_supervise(args):
+    """Auto-restarting driver for multi-hour runs on the tunneled backend.
+
+    The axon tunnel client leaks ~1 MB of host RSS per ~1 MB device_put
+    (probed round 5: 300 x 1 MB transfers -> +300 MB RSS whether or not the
+    arrays are deleted; see GAN_LONGRUN.md "host-memory leak"), so a
+    batch-16 GAN run leaks ~1.2 MB/step and the kernel OOM-kills the
+    trainer around ~60k steps on a 128 GB host.  Until the client is
+    fixed, long runs are supervised: re-launch ``run`` (which resumes from
+    the last checkpoint) every time the trainer exits — OOM kill, crash,
+    or clean finish — until the step target is reached.  Checkpoint
+    cadence bounds the lost work per recycle to <= ckpt_interval steps."""
+    workdir = Path(args.workdir)
+    base = [sys.executable, __file__, "run", str(workdir), "--batch", str(args.batch),
+            "--n-utts", str(args.n_utts), "--steps", str(args.steps),
+            "--ckpt-interval", str(args.ckpt_interval), "--val-interval", str(args.val_interval),
+            "--summary-interval", str(args.summary_interval), "--run-name", args.run_name]
+
+    def last_step() -> int:
+        ckpt_dir = workdir / args.run_name / "ckpt"
+        if not ckpt_dir.is_dir():
+            return 0
+        steps = [int(p.name) for p in ckpt_dir.iterdir() if p.name.isdigit()]
+        return max(steps, default=0)
+
+    gen = 0
+    while last_step() < args.steps:
+        gen += 1
+        print(f"[supervise] generation {gen}: resuming from step {last_step()}", flush=True)
+        rc = subprocess.run(base).returncode
+        print(f"[supervise] generation {gen} exited rc={rc} at step {last_step()}", flush=True)
+        if rc == 0:
+            break
+        time.sleep(5.0)
+    print(f"[supervise] done at step {last_step()} after {gen} generation(s)", flush=True)
+
+
 def cmd_resume_check_at(args):
     """The resume-check design transplanted to the LAST checkpoint of an
     existing long run (VERDICT r4 #2's "second kill/resume check at a late
@@ -304,7 +341,7 @@ def cmd_resume_check_at(args):
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "report", "resume-check", "resume-check-at"):
+    for name in ("run", "report", "resume-check", "resume-check-at", "supervise"):
         s = sub.add_parser(name)
         s.add_argument("workdir")
         s.add_argument("--steps", type=int, default=50000)
@@ -324,6 +361,8 @@ def main():
         cmd_report(args)
     elif args.cmd == "resume-check-at":
         cmd_resume_check_at(args)
+    elif args.cmd == "supervise":
+        cmd_supervise(args)
     else:
         cmd_resume_check(args)
 
